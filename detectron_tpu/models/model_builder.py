@@ -1,0 +1,258 @@
+"""Generalized R-CNN assembly (the only model class, as in the reference).
+
+Functional rebuild of lib/modeling/model_builder.py :: Generalized_RCNN +
+get_func: cfg strings ('FPN.fpn_ResNet50_conv5_body',
+'fast_rcnn_heads.roi_2mlp_head', ...) select body/head builders; params are a
+nested pytree; apply functions are pure and jit-compiled by callers.
+
+Inference dataflow (one jit, entire batch, static shapes):
+
+  images (B, H, W, 3)  ->  body  ->  [FPN]  ->  RPN heads
+      -> in-graph proposals (B, R, 4) + valid mask
+      -> RoIAlign (multilevel for FPN) -> box head -> cls/bbox outputs
+
+The training step (losses + in-graph target assignment) lives in
+models/train_graph.py; test-time box/mask/keypoint decoding in core/test.py.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from detectron_tpu.core.config import cfg
+from detectron_tpu.models import fast_rcnn_heads
+from detectron_tpu.models import fpn as fpn_mod
+from detectron_tpu.models import keypoint_rcnn_heads
+from detectron_tpu.models import mask_rcnn_heads
+from detectron_tpu.models import resnet
+from detectron_tpu.models import rpn as rpn_mod
+from detectron_tpu.ops import roi_align as ra_ops
+
+
+# ---------------------------------------------------------------------------
+# Static model spec derived from cfg
+# ---------------------------------------------------------------------------
+
+class ModelSpec:
+    """Static (trace-time) facts about the configured model."""
+
+    def __init__(self):
+        self.depth, self.num_stages, _name_is_fpn = resnet.body_spec(
+            cfg.MODEL.CONV_BODY)
+        self.is_fpn = bool(cfg.FPN.FPN_ON)
+        if self.is_fpn:
+            self.body_feat_dim = cfg.FPN.DIM
+            self.box_roi_levels = (cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL)
+        else:
+            # C4 body: res4 output
+            self.body_feat_dim = 1024
+        self.num_classes = cfg.MODEL.NUM_CLASSES
+
+    @property
+    def body_stride(self):
+        return 16  # C4 bodies end at res4 (stride 16)
+
+
+def build_spec():
+    return ModelSpec()
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_model(rng):
+    """Initialize all params per cfg. Returns a nested dict pytree."""
+    spec = build_spec()
+    keys = jax.random.split(rng, 8)
+    params = {}
+    params["body"] = resnet.init_body(keys[0], spec.depth, spec.num_stages)
+
+    if spec.is_fpn:
+        params["fpn"] = fpn_mod.init_fpn(keys[1])
+        params["rpn"] = rpn_mod.init_fpn_rpn(keys[2], cfg.FPN.DIM)
+        box_roi_res = cfg.FAST_RCNN.ROI_XFORM_RESOLUTION
+        head_name = cfg.FAST_RCNN.ROI_BOX_HEAD
+        if "roi_2mlp_head" in head_name:
+            params["box_head"] = fast_rcnn_heads.init_roi_2mlp_head(
+                keys[3], cfg.FPN.DIM, box_roi_res)
+            box_out_dim = cfg.FAST_RCNN.MLP_HEAD_DIM
+        elif "Xconv1fc" in head_name:
+            params["box_head"] = fast_rcnn_heads.init_roi_Xconv1fc_head(
+                keys[3], cfg.FPN.DIM, box_roi_res,
+                use_gn=head_name.endswith("_gn"))
+            box_out_dim = cfg.FAST_RCNN.MLP_HEAD_DIM
+        else:
+            raise ValueError("Unsupported ROI_BOX_HEAD: " + head_name)
+    else:
+        params["rpn"] = rpn_mod.init_single_scale_rpn(
+            keys[2], spec.body_feat_dim)
+        # C4: box head IS res5 (ResNet.ResNet_roi_conv5_head)
+        assert "ResNet_roi_conv5_head" in cfg.FAST_RCNN.ROI_BOX_HEAD or \
+            cfg.FAST_RCNN.ROI_BOX_HEAD == "", \
+            "C4 models use ResNet_roi_conv5_head"
+        params["box_head"] = resnet.init_roi_conv5_head(keys[3], 1024)
+        box_out_dim = 2048
+
+    params["box_outs"] = fast_rcnn_heads.init_fast_rcnn_outputs(
+        keys[4], box_out_dim)
+
+    if cfg.MODEL.MASK_ON:
+        mask_in_dim = cfg.FPN.DIM if spec.is_fpn else 1024
+        params["mask_head"] = mask_rcnn_heads.init_mask_head(
+            keys[5], mask_in_dim)
+        params["mask_outs"] = mask_rcnn_heads.init_mask_outputs(
+            keys[6], cfg.MRCNN.DIM_REDUCED)
+
+    if cfg.MODEL.KEYPOINTS_ON:
+        kps_in_dim = cfg.FPN.DIM if spec.is_fpn else 1024
+        params["kps_head"] = keypoint_rcnn_heads.init_pose_head(
+            keys[7], kps_in_dim)
+        params["kps_outs"] = keypoint_rcnn_heads.init_keypoint_outputs(
+            jax.random.fold_in(keys[7], 1), cfg.KRCNN.CONV_HEAD_DIM)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward pieces
+# ---------------------------------------------------------------------------
+
+def forward_features(params, images):
+    """images (B, H, W, 3) BGR, mean-subtracted, zero-padded.
+    Returns (features, scales): for FPN a list [P2..P6] + per-level scales;
+    for C4 a single-element list [res4] with scale 1/16."""
+    dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else \
+        jnp.float32
+    x = images.astype(dtype)
+    spec = build_spec()
+    outs = resnet.apply_body(params["body"], x, spec.num_stages)
+    if spec.is_fpn:
+        return fpn_mod.apply_fpn(params["fpn"], outs)
+    return [outs[-1]], [1.0 / 16.0]
+
+
+def forward_rpn(params, features):
+    """Run the RPN head on every level. Returns per-level (cls, bbox)."""
+    return [rpn_mod.apply_rpn_head(params["rpn"], f) for f in features]
+
+
+def generate_proposals(rpn_outs, features, im_info, training):
+    """In-graph proposal generation for the whole batch.
+
+    im_info: (B, 3) [h, w, scale]. Returns (rois (B, R, 4), roi_scores
+    (B, R), valid (B, R)) with R = RPN_POST_NMS_TOP_N for the phase.
+    """
+    if training:
+        pre_n = cfg.TRAIN.RPN_PRE_NMS_TOP_N
+        post_n = cfg.TRAIN.RPN_POST_NMS_TOP_N
+        nms_thresh = cfg.TRAIN.RPN_NMS_THRESH
+        min_size = cfg.TRAIN.RPN_MIN_SIZE
+    else:
+        pre_n = cfg.TEST.RPN_PRE_NMS_TOP_N
+        post_n = cfg.TEST.RPN_POST_NMS_TOP_N
+        nms_thresh = cfg.TEST.RPN_NMS_THRESH
+        min_size = cfg.TEST.RPN_MIN_SIZE
+
+    is_fpn_rpn = cfg.FPN.FPN_ON and cfg.FPN.MULTILEVEL_RPN
+
+    level_boxes, level_scores, level_valid = [], [], []
+    if is_fpn_rpn:
+        anchor_cfgs = rpn_mod.fpn_anchor_config()
+    else:
+        anchor_cfgs = [(None, cfg.RPN.STRIDE, None)]
+
+    for li, (cls_logits, bbox_pred) in enumerate(rpn_outs):
+        if is_fpn_rpn:
+            lvl, stride, size = anchor_cfgs[li]
+            sizes = (size,)
+            ratios = cfg.FPN.RPN_ASPECT_RATIOS
+        else:
+            stride = cfg.RPN.STRIDE
+            sizes = cfg.RPN.SIZES
+            ratios = cfg.RPN.ASPECT_RATIOS
+        B, H, W, A = cls_logits.shape
+        anchors = rpn_mod.level_anchors(stride, sizes, ratios, H, W)
+
+        def one_image(cl, bp, info):
+            return rpn_mod.proposals_one_level(
+                cl, bp, anchors, info[:2], min_size * info[2],
+                pre_top_n=pre_n, post_top_n=post_n, nms_thresh=nms_thresh)
+
+        b, s, v = jax.vmap(one_image)(cls_logits, bbox_pred, im_info)
+        level_boxes.append(b)
+        level_scores.append(s)
+        level_valid.append(v)
+
+    if len(level_boxes) == 1:
+        rois, scores, valid = level_boxes[0], level_scores[0], level_valid[0]
+    else:
+        rois, scores, valid = jax.vmap(
+            lambda *xs: rpn_mod.collect_proposals(
+                list(xs[: len(level_boxes)]),
+                list(xs[len(level_boxes): 2 * len(level_boxes)]),
+                list(xs[2 * len(level_boxes):]),
+                post_n,
+            )
+        )(*level_boxes, *level_scores, *level_valid)
+    return rois, scores, valid
+
+
+def roi_feature_transform(params, features, scales, rois, resolution,
+                          sampling_ratio, method=None):
+    """Dispatch RoI feature extraction (reference:
+    model_builder.roi_feature_transform). features: list of (B, H, W, C);
+    rois: (B, R, 4). Returns (B, R, P, P, C)."""
+    method = method or cfg.FAST_RCNN.ROI_XFORM_METHOD
+    assert method in ("RoIAlign", "RoIPoolF", "RoICrop"), method
+    if method != "RoIAlign":
+        # RoIPoolF/RoICrop: lower-priority paths; RoIAlign is used by all e2e
+        # baselines. RoIPool support tracked in ops/roi_pool.py.
+        from detectron_tpu.ops import roi_pool as rp_ops
+        assert method == "RoIPoolF", "RoICrop not yet supported"
+        assert len(features) == 1
+        return jax.vmap(
+            lambda f, r: rp_ops.roi_pool(f, r, scales[0], resolution,
+                                         resolution)
+        )(features[0], rois)
+
+    if len(features) == 1:
+        return ra_ops.roi_align_batched(
+            features[0], rois, scales[0], resolution, resolution,
+            sampling_ratio)
+
+    def one_image(per_level_feats, r):
+        return fpn_mod.multilevel_roi_align(
+            per_level_feats, scales, r, resolution, resolution,
+            sampling_ratio)
+
+    # Only ROI_MIN..ROI_MAX levels participate (P6 is RPN-only).
+    lo = fpn_mod.lowest_backbone_lvl()
+    roi_feats = features[: cfg.FPN.ROI_MAX_LEVEL - lo + 1]
+    return jax.vmap(one_image, in_axes=(0, 0))(roi_feats, rois)
+
+
+def forward_box_outputs(params, features, scales, rois):
+    """RoI transform + box head + box outputs for the whole batch.
+    rois: (B, R, 4) -> (cls_logits (B, R, C), bbox_pred (B, R, 4C'))."""
+    spec = build_spec()
+    roi_feat = roi_feature_transform(
+        params, features, scales, rois,
+        cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
+        cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO)
+    B, R = roi_feat.shape[:2]
+    flat = roi_feat.reshape((B * R,) + roi_feat.shape[2:])
+
+    if spec.is_fpn:
+        head_name = cfg.FAST_RCNN.ROI_BOX_HEAD
+        if "roi_2mlp_head" in head_name:
+            feat = fast_rcnn_heads.apply_roi_2mlp_head(params["box_head"], flat)
+        else:
+            feat = fast_rcnn_heads.apply_roi_Xconv1fc_head(
+                params["box_head"], flat)
+    else:
+        feat = resnet.apply_roi_conv5_head(params["box_head"], flat)
+
+    cls_logits, bbox_pred = fast_rcnn_heads.apply_fast_rcnn_outputs(
+        params["box_outs"], feat)
+    return (cls_logits.reshape(B, R, -1), bbox_pred.reshape(B, R, -1), feat)

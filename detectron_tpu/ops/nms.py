@@ -1,0 +1,138 @@
+"""In-graph exact greedy NMS over fixed-shape padded box sets.
+
+The reference runs NMS on the host in Cython (lib/utils/cython_nms.pyx :: nms)
+from inside the forward pass (lib/modeling/generate_proposals.py ::
+GenerateProposalsOp) — a device->host round trip per image per FPN level.
+Here NMS is a pure-XLA op that runs inside the jitted step.
+
+Algorithm: tiled greedy suppression (the standard TPU formulation, cf. TF's
+padded NMS). Boxes are sorted by score; tiles of size T are processed in
+order. Each tile is first cross-suppressed against all *kept* boxes of
+earlier tiles (one (T, N) IoU block, a VPU-friendly matrix op), then resolved
+within the tile by fixpoint iteration of
+
+    suppressed[i] = cross[i]  OR  exists j < i: !suppressed[j] and iou(j,i) > t
+
+which converges to exact greedy-NMS semantics (worst case T iterations; in
+practice a handful). Results match utils/boxes.nms exactly, including the
+Detectron +1 edge convention, modulo score ties (argsort is made stable by
+index tie-breaking).
+
+All shapes are static; validity is carried by masks. O(N^2) IoU work total,
+O(T*N) peak memory.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from detectron_tpu.ops import box_ops
+
+
+def _iou_block(boxes_a, boxes_b):
+    """IoU between (T, 4) and (M, 4) with the +1 edge convention."""
+    return box_ops.bbox_overlaps(boxes_a, boxes_b)
+
+
+def _self_suppress(iou_mask, cross_sup):
+    """Resolve greedy suppression within one tile.
+
+    iou_mask: (T, T) bool, iou_mask[j, i] == True iff iou(j, i) > threshold.
+    cross_sup: (T,) bool, suppression decided by earlier tiles.
+    Returns (T,) bool suppressed flags matching sequential greedy NMS.
+    """
+    T = cross_sup.shape[0]
+    # Strict upper triangle: j suppresses i only if j comes first (j < i).
+    tri = jnp.triu(jnp.ones((T, T), dtype=bool), k=1)
+    m = iou_mask & tri  # (j, i)
+
+    def cond(state):
+        s, changed, it = state
+        return changed & (it < T)
+
+    def body(state):
+        s, _, it = state
+        # i suppressed if cross-suppressed or any earlier unsuppressed j hits it
+        new_s = cross_sup | jnp.any(m & ~s[:, None], axis=0)
+        return new_s, jnp.any(new_s != s), it + 1
+
+    init = cross_sup | jnp.any(m, axis=0)
+    s, _, _ = lax.while_loop(cond, body, (init, jnp.array(True), jnp.array(0)))
+    return s
+
+
+@functools.partial(jax.jit, static_argnames=("max_output_size", "tile_size"))
+def nms_padded(boxes, scores, iou_threshold, max_output_size, tile_size=256):
+    """Exact greedy NMS on a fixed-size box set.
+
+    Args:
+      boxes: (N, 4) float [x1,y1,x2,y2]; padded/invalid entries should carry
+        scores of -inf (they then sort last and never suppress anything real,
+        since the keep mask excludes them).
+      scores: (N,) float; -inf marks invalid/padded boxes.
+      iou_threshold: scalar float.
+      max_output_size: static int K — number of survivors to emit.
+      tile_size: static int T.
+
+    Returns:
+      idx: (K,) int32 indices into the *input* arrays, score-descending;
+        entries beyond the number of survivors point at index 0.
+      valid: (K,) bool marking real survivors.
+    """
+    N = boxes.shape[0]
+    T = min(tile_size, N)
+    num_tiles = -(-N // T)
+    pad = num_tiles * T - N
+
+    order = jnp.argsort(-scores)  # stable: ties broken by index
+    sboxes = boxes[order]
+    sscores = scores[order]
+    valid_in = jnp.isfinite(sscores)
+    if pad:
+        sboxes = jnp.pad(sboxes, ((0, pad), (0, 0)))
+        valid_in = jnp.pad(valid_in, (0, pad))
+    Np = num_tiles * T
+
+    thr = jnp.asarray(iou_threshold, sboxes.dtype)
+
+    def tile_step(t, suppressed):
+        tb = lax.dynamic_slice(sboxes, (t * T, 0), (T, 4))
+        tvalid = lax.dynamic_slice(valid_in, (t * T,), (T,))
+        # IoU of this tile against ALL boxes; mask to kept boxes of earlier
+        # tiles for cross-suppression.
+        iou_all = _iou_block(tb, sboxes)  # (T, Np)
+        col = jnp.arange(Np)
+        prev_kept = (col < t * T) & ~suppressed & valid_in
+        cross = jnp.any((iou_all > thr) & prev_kept[None, :], axis=1)
+        cross = cross | ~tvalid  # padded boxes never survive
+        # Within-tile greedy fixpoint.
+        iou_tile = lax.dynamic_slice(iou_all, (0, t * T), (T, T))
+        s_tile = _self_suppress(iou_tile > thr, cross)
+        return lax.dynamic_update_slice(suppressed, s_tile, (t * T,))
+
+    suppressed = lax.fori_loop(
+        0, num_tiles, tile_step, jnp.zeros((Np,), dtype=bool)
+    )
+    keep = ~suppressed & valid_in  # (Np,), in score order
+    keep = keep[:N]
+
+    # Survivors first, preserving score order; then gather top-K.
+    pos = jnp.arange(N)
+    sel = jnp.argsort(jnp.where(keep, pos, pos + N))[:max_output_size]
+    out_idx = order[sel]
+    out_valid = keep[sel]
+    out_idx = jnp.where(out_valid, out_idx, 0)
+    return out_idx.astype(jnp.int32), out_valid
+
+
+def nms_padded_batched(boxes, scores, iou_threshold, max_output_size,
+                       tile_size=256):
+    """vmap of nms_padded over a leading batch dimension."""
+    fn = functools.partial(
+        nms_padded,
+        max_output_size=max_output_size,
+        tile_size=tile_size,
+    )
+    return jax.vmap(fn, in_axes=(0, 0, None))(boxes, scores, iou_threshold)

@@ -1,0 +1,91 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from detectron_tpu.core import config
+from detectron_tpu.core.config import cfg
+from detectron_tpu.models import model_builder as mb
+
+
+def _tiny_fpn_cfg():
+    config.merge_cfg_from_list([
+        "MODEL.CONV_BODY", "FPN.fpn_ResNet50_conv5_body",
+        "MODEL.FASTER_RCNN", "True",
+        "MODEL.NUM_CLASSES", "4",
+        "FPN.FPN_ON", "True",
+        "FPN.MULTILEVEL_ROIS", "True",
+        "FPN.MULTILEVEL_RPN", "True",
+        "FAST_RCNN.ROI_BOX_HEAD", "fast_rcnn_heads.roi_2mlp_head",
+        "FAST_RCNN.ROI_XFORM_METHOD", "RoIAlign",
+        "FAST_RCNN.ROI_XFORM_RESOLUTION", "7",
+        "FAST_RCNN.ROI_XFORM_SAMPLING_RATIO", "2",
+        "FAST_RCNN.MLP_HEAD_DIM", "64",
+        "TEST.RPN_PRE_NMS_TOP_N", "64",
+        "TEST.RPN_POST_NMS_TOP_N", "16",
+        "TPU.NMS_TILE_SIZE", "32",
+    ])
+    config.assert_and_infer_cfg(make_immutable=False)
+
+
+def _tiny_c4_cfg():
+    config.merge_cfg_from_list([
+        "MODEL.CONV_BODY", "ResNet.ResNet50_conv4_body",
+        "MODEL.FASTER_RCNN", "True",
+        "MODEL.NUM_CLASSES", "4",
+        "FAST_RCNN.ROI_BOX_HEAD", "ResNet.ResNet_roi_conv5_head",
+        "FAST_RCNN.ROI_XFORM_METHOD", "RoIAlign",
+        "FAST_RCNN.ROI_XFORM_RESOLUTION", "14",
+        "FAST_RCNN.ROI_XFORM_SAMPLING_RATIO", "0",
+        "TEST.RPN_PRE_NMS_TOP_N", "64",
+        "TEST.RPN_POST_NMS_TOP_N", "8",
+        "TPU.NMS_TILE_SIZE", "32",
+    ])
+    config.assert_and_infer_cfg(make_immutable=False)
+
+
+def _run_inference_stack(batch=1, size=64):
+    params = mb.init_model(jax.random.PRNGKey(0))
+    images = jnp.asarray(
+        np.random.RandomState(0).randn(batch, size, size, 3), jnp.float32)
+    im_info = jnp.asarray([[size, size, 1.0]] * batch, jnp.float32)
+
+    feats, scales = mb.forward_features(params, images)
+    rpn_outs = mb.forward_rpn(params, feats)
+    rois, scores, valid = mb.generate_proposals(
+        rpn_outs, feats, im_info, training=False)
+    cls_logits, bbox_pred, _ = mb.forward_box_outputs(
+        params, feats, scales, rois)
+    return feats, rois, valid, cls_logits, bbox_pred
+
+
+def test_fpn_inference_shapes():
+    _tiny_fpn_cfg()
+    feats, rois, valid, cls_logits, bbox_pred = _run_inference_stack()
+    assert len(feats) == 5  # P2..P6
+    assert rois.shape == (1, 16, 4)
+    assert cls_logits.shape == (1, 16, 4)
+    assert bbox_pred.shape == (1, 16, 16)
+    assert np.isfinite(np.asarray(cls_logits)).all()
+    # Valid proposals have x2>=x1, y2>=y1 within image
+    r = np.asarray(rois)[np.asarray(valid)]
+    assert (r[:, 2] >= r[:, 0]).all() and (r[:, 3] >= r[:, 1]).all()
+
+
+def test_c4_inference_shapes():
+    _tiny_c4_cfg()
+    feats, rois, valid, cls_logits, bbox_pred = _run_inference_stack()
+    assert len(feats) == 1
+    assert feats[0].shape[-1] == 1024
+    assert rois.shape == (1, 8, 4)
+    assert cls_logits.shape == (1, 8, 4)
+    assert np.isfinite(np.asarray(cls_logits)).all()
+
+
+def test_fpn_body_feature_strides():
+    _tiny_fpn_cfg()
+    params = mb.init_model(jax.random.PRNGKey(1))
+    images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    feats, scales = mb.forward_features(params, images)
+    assert [f.shape[1] for f in feats] == [16, 8, 4, 2, 1]
+    assert scales == [0.25, 0.125, 0.0625, 0.03125, 0.015625]
