@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark: Mask R-CNN R-50-FPN end-to-end inference throughput per chip.
+
+Measures the full jit-compiled detection pipeline (backbone + FPN + RPN +
+in-graph proposals/NMS + box head + per-class NMS + mask head on the top
+detections) on synthetic COCO-shaped inputs at TEST.SCALE=800/MAX_SIZE=1333
+(canvas 832x1344). Prints one JSON line; vs_baseline is against the 150
+images/sec/chip v5e target from BASELINE.json (the reference publishes no
+throughput numbers).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from detectron_tpu.core import config
+    from detectron_tpu.core.configs_presets import mask_rcnn_r50_fpn
+    from detectron_tpu.core import test as test_engine
+    from detectron_tpu.models import model_builder as mb
+
+    mask_rcnn_r50_fpn()
+    config.merge_cfg_from_list([
+        "TPU.COMPUTE_DTYPE", "bfloat16",
+    ])
+    config.assert_and_infer_cfg(make_immutable=False)
+
+    B = 8  # batch per chip
+    H, W = 832, 1344
+
+    params = mb.init_model(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32) * 20.0)
+    im_info = jnp.asarray([[800.0, 1333.0, 1.6]] * B, jnp.float32)
+
+    fn = jax.jit(test_engine.detect_graph)
+
+    # Warmup / compile
+    out = fn(params, images, im_info)
+    jax.block_until_ready(out)
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn(params, images, im_info)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = B * n_iters / dt
+    target = 150.0
+    print(json.dumps({
+        "metric": "mask_rcnn_r50_fpn_inference_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / target, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+"""Inference engine: detection, mask, and keypoint decoding.
+
+Rebuilds lib/core/test.py (im_detect_all, im_detect_bbox, im_detect_mask,
+im_detect_keypoints, box_results_with_nms_and_limit, segm_results,
+keypoint_results) the TPU way: the entire bbox pipeline — backbone, RPN,
+proposals, box head, score softmax, per-class box decoding, per-class NMS and
+the top-DETECTIONS_PER_IM limit — is ONE jit-compiled graph with static
+shapes (detect_graph). The reference runs decode + per-class Cython NMS on
+the host per image; here per-class NMS is vmapped over (batch, class) on
+device.
+
+Host-side paths kept for parity features that are inherently sequential or
+rarely used: Soft-NMS, box voting (utils/boxes.py), and TTA (core/test_aug).
+Mask pasting into the full image (segm_results) runs on host over the <=100
+final detections, as in the reference.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detectron_tpu.core.config import cfg
+from detectron_tpu.models import keypoint_rcnn_heads
+from detectron_tpu.models import mask_rcnn_heads
+from detectron_tpu.models import model_builder as mb
+from detectron_tpu.ops import box_ops
+from detectron_tpu.ops import nms as nms_ops
+from detectron_tpu.utils import boxes as box_utils
+
+
+# ---------------------------------------------------------------------------
+# In-graph detection
+# ---------------------------------------------------------------------------
+
+def _per_class_nms_one_image(boxes_c, scores_c, max_out):
+    """vmap-over-classes greedy NMS. boxes_c: (C-1, R, 4); scores_c:
+    (C-1, R). Returns (C-1, max_out) indices + validity."""
+    def one(b, s):
+        return nms_ops.nms_padded(
+            b, s, cfg.TEST.NMS, max_output_size=max_out,
+            tile_size=cfg.TPU.NMS_TILE_SIZE)
+
+    return jax.vmap(one)(boxes_c, scores_c)
+
+
+def detect_graph(params, images, im_info):
+    """Full-batch detection. Returns dict:
+      boxes  (B, D, 4)  final boxes (scaled-image coords)
+      scores (B, D)
+      classes (B, D) int32 (1..C-1)
+      valid  (B, D) bool
+      + (MASK_ON) mask_probs (B, D, M, M)
+      + (KEYPOINTS_ON) kps_heatmaps (B, D, S, S, K)
+    where D = TEST.DETECTIONS_PER_IM.
+    """
+    features, scales = mb.forward_features(params, images)
+    rpn_outs = mb.forward_rpn(params, features)
+    rois, _, roi_valid = mb.generate_proposals(
+        rpn_outs, features, im_info, training=False)
+    cls_logits, bbox_pred, _ = mb.forward_box_outputs(
+        params, features, scales, rois)
+
+    B, R, C = cls_logits.shape
+    probs = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
+    probs = jnp.where(roi_valid[..., None], probs, 0.0)
+
+    if cfg.TEST.BBOX_REG:
+        weights = tuple(cfg.MODEL.BBOX_REG_WEIGHTS)
+        pred = box_ops.bbox_transform(
+            rois, bbox_pred.astype(jnp.float32), weights,
+            clip=cfg.BBOX_XFORM_CLIP)  # (B, R, 4C')
+        pred = box_ops.clip_tiled_boxes(
+            pred, im_info[:, None, 0:1], im_info[:, None, 1:2])
+        n_reg = pred.shape[-1] // 4
+        pred = pred.reshape(B, R, n_reg, 4)
+        if n_reg == C:
+            cls_boxes = pred[:, :, 1:, :]  # drop background column
+        else:  # class-agnostic: broadcast the fg column to all classes
+            cls_boxes = jnp.broadcast_to(pred[:, :, 1:2, :], (B, R, C - 1, 4))
+    else:
+        cls_boxes = jnp.broadcast_to(rois[:, :, None, :], (B, R, C - 1, 4))
+
+    cls_scores = probs[..., 1:]  # (B, R, C-1)
+    thresh_scores = jnp.where(cls_scores >= cfg.TEST.SCORE_THRESH,
+                              cls_scores, -jnp.inf)
+
+    D = cfg.TEST.DETECTIONS_PER_IM
+    boxes_c = jnp.swapaxes(cls_boxes, 1, 2)  # (B, C-1, R, 4)
+    scores_c = jnp.swapaxes(thresh_scores, 1, 2)  # (B, C-1, R)
+    idx, valid = jax.vmap(
+        functools.partial(_per_class_nms_one_image, max_out=D)
+    )(boxes_c, scores_c)  # (B, C-1, D)
+
+    kept_scores = jnp.where(
+        valid, jnp.take_along_axis(scores_c, idx, axis=2), -jnp.inf)
+    kept_boxes = jnp.take_along_axis(
+        boxes_c, idx[..., None], axis=2)  # (B, C-1, D, 4)
+
+    # Global top-D across classes (reference: limit to DETECTIONS_PER_IM).
+    flat_scores = kept_scores.reshape(B, -1)
+    flat_boxes = kept_boxes.reshape(B, -1, 4)
+    top_scores, top_idx = jax.lax.top_k(flat_scores, D)
+    out_boxes = jnp.take_along_axis(flat_boxes, top_idx[..., None], axis=1)
+    out_classes = (top_idx // D + 1).astype(jnp.int32)
+    out_valid = jnp.isfinite(top_scores)
+    out_scores = jnp.where(out_valid, top_scores, 0.0)
+    out_boxes = out_boxes * out_valid[..., None]
+
+    out = {
+        "boxes": out_boxes,
+        "scores": out_scores,
+        "classes": jnp.where(out_valid, out_classes, 0),
+        "valid": out_valid,
+    }
+
+    if cfg.MODEL.MASK_ON:
+        out["mask_probs"] = mask_graph(params, features, scales, out_boxes,
+                                       out["classes"])
+    if cfg.MODEL.KEYPOINTS_ON:
+        out["kps_heatmaps"] = keypoint_graph(params, features, scales,
+                                             out_boxes)
+    return out
+
+
+def mask_graph(params, features, scales, det_boxes, det_classes):
+    """Mask head on the final detections (reference: im_detect_mask).
+    det_boxes: (B, D, 4) scaled coords. Returns (B, D, M, M) sigmoid probs
+    for each detection's class channel."""
+    B, D = det_boxes.shape[:2]
+    roi_feat = mb.roi_feature_transform(
+        params, features, scales, det_boxes,
+        cfg.MRCNN.ROI_XFORM_RESOLUTION, cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO,
+        method=cfg.MRCNN.ROI_XFORM_METHOD)
+    flat = roi_feat.reshape((B * D,) + roi_feat.shape[2:])
+    h = mask_rcnn_heads.apply_mask_head(
+        params["mask_head"], flat,
+        shared_res5_params=params.get("box_head", {}).get("res5"))
+    logits = mask_rcnn_heads.apply_mask_outputs(params["mask_outs"], h)
+    M = logits.shape[1]
+    logits = logits.reshape(B, D, M, M, -1)
+    if logits.shape[-1] > 1:
+        sel = jnp.take_along_axis(
+            logits, det_classes[..., None, None, None].astype(jnp.int32),
+            axis=4)[..., 0]
+    else:
+        sel = logits[..., 0]
+    return jax.nn.sigmoid(sel.astype(jnp.float32))
+
+
+def keypoint_graph(params, features, scales, det_boxes):
+    """Keypoint head on the final detections (reference:
+    im_detect_keypoints). Returns raw heatmaps (B, D, S, S, K)."""
+    B, D = det_boxes.shape[:2]
+    roi_feat = mb.roi_feature_transform(
+        params, features, scales, det_boxes,
+        cfg.KRCNN.ROI_XFORM_RESOLUTION, cfg.KRCNN.ROI_XFORM_SAMPLING_RATIO,
+        method=cfg.KRCNN.ROI_XFORM_METHOD)
+    flat = roi_feat.reshape((B * D,) + roi_feat.shape[2:])
+    h = keypoint_rcnn_heads.apply_pose_head(params["kps_head"], flat)
+    hm = keypoint_rcnn_heads.apply_keypoint_outputs(params["kps_outs"], h)
+    return hm.reshape((B, D) + hm.shape[1:]).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Host-side result assembly (per image)
+# ---------------------------------------------------------------------------
+
+def box_results_with_nms_and_limit(scores, boxes):
+    """Host reference path for Soft-NMS / box-voting modes (reference:
+    lib/core/test.py :: box_results_with_nms_and_limit). scores: (R, C)
+    softmax; boxes: (R, 4C) decoded. Returns (scores, boxes, cls_boxes list
+    per class)."""
+    num_classes = cfg.MODEL.NUM_CLASSES
+    cls_boxes = [[] for _ in range(num_classes)]
+    for j in range(1, num_classes):
+        inds = np.where(scores[:, j] > cfg.TEST.SCORE_THRESH)[0]
+        scores_j = scores[inds, j]
+        if boxes.shape[1] > 8:
+            boxes_j = boxes[inds, j * 4:(j + 1) * 4]
+        else:
+            boxes_j = boxes[inds, 4:8]
+        dets_j = np.hstack((boxes_j, scores_j[:, np.newaxis])).astype(
+            np.float32, copy=False)
+        if cfg.TEST.SOFT_NMS.ENABLED:
+            nms_dets, _ = box_utils.soft_nms(
+                dets_j,
+                sigma=cfg.TEST.SOFT_NMS.SIGMA,
+                overlap_thresh=cfg.TEST.NMS,
+                score_thresh=0.0001,
+                method=cfg.TEST.SOFT_NMS.METHOD,
+            )
+        else:
+            keep = box_utils.nms(dets_j, cfg.TEST.NMS)
+            nms_dets = dets_j[keep, :]
+        if cfg.TEST.BBOX_VOTE.ENABLED:
+            nms_dets = box_utils.box_voting(
+                nms_dets, dets_j, cfg.TEST.BBOX_VOTE.VOTE_TH,
+                scoring_method=cfg.TEST.BBOX_VOTE.SCORING_METHOD,
+                beta=cfg.TEST.BBOX_VOTE.SCORING_METHOD_BETA,
+            )
+        cls_boxes[j] = nms_dets
+
+    # Limit to DETECTIONS_PER_IM over all classes
+    if cfg.TEST.DETECTIONS_PER_IM > 0:
+        image_scores = np.hstack(
+            [cls_boxes[j][:, -1] for j in range(1, num_classes)
+             if len(cls_boxes[j])] or [np.array([])])
+        if len(image_scores) > cfg.TEST.DETECTIONS_PER_IM:
+            image_thresh = np.sort(image_scores)[
+                -cfg.TEST.DETECTIONS_PER_IM]
+            for j in range(1, num_classes):
+                if len(cls_boxes[j]) == 0:
+                    continue
+                keep = np.where(cls_boxes[j][:, -1] >= image_thresh)[0]
+                cls_boxes[j] = cls_boxes[j][keep, :]
+
+    im_results = np.vstack(
+        [cls_boxes[j] for j in range(1, num_classes) if len(cls_boxes[j])]
+        or [np.zeros((0, 5), np.float32)])
+    boxes_out = im_results[:, :-1]
+    scores_out = im_results[:, -1]
+    return scores_out, boxes_out, cls_boxes

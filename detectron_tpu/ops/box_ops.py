@@ -10,10 +10,12 @@ Boxes are [x1, y1, x2, y2]; Detectron's +1 edge convention (width =
 x2 - x1 + 1) is preserved exactly for AP parity.
 """
 
+import math
+
 import jax.numpy as jnp
 
 # Detectron clips dw/dh at log(1000/16) before exp (cfg.BBOX_XFORM_CLIP).
-BBOX_XFORM_CLIP_DEFAULT = float(jnp.log(1000.0 / 16.0))
+BBOX_XFORM_CLIP_DEFAULT = math.log(1000.0 / 16.0)
 
 
 def boxes_area(boxes):

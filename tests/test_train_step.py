@@ -1,0 +1,125 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from detectron_tpu.core import config
+from detectron_tpu.core.config import cfg
+from detectron_tpu.models import model_builder as mb
+from detectron_tpu.parallel import mesh as mesh_mod
+from detectron_tpu.parallel import optimizer as opt
+from detectron_tpu.parallel import train_step as ts
+
+
+def _tiny_train_cfg(mask_on=False):
+    config.merge_cfg_from_list([
+        "MODEL.CONV_BODY", "FPN.fpn_ResNet50_conv5_body",
+        "MODEL.FASTER_RCNN", "True",
+        "MODEL.MASK_ON", str(mask_on),
+        "MODEL.NUM_CLASSES", "4",
+        "FPN.FPN_ON", "True",
+        "FPN.MULTILEVEL_ROIS", "True",
+        "FPN.MULTILEVEL_RPN", "True",
+        "FAST_RCNN.ROI_BOX_HEAD", "fast_rcnn_heads.roi_2mlp_head",
+        "FAST_RCNN.ROI_XFORM_METHOD", "RoIAlign",
+        "FAST_RCNN.ROI_XFORM_RESOLUTION", "7",
+        "FAST_RCNN.ROI_XFORM_SAMPLING_RATIO", "2",
+        "FAST_RCNN.MLP_HEAD_DIM", "32",
+        "MRCNN.ROI_MASK_HEAD", "mask_rcnn_heads.mask_rcnn_fcn_head_v1up4convs",
+        "MRCNN.RESOLUTION", "14",
+        "MRCNN.ROI_XFORM_RESOLUTION", "7",
+        "MRCNN.ROI_XFORM_SAMPLING_RATIO", "2",
+        "MRCNN.DILATION", "1",
+        "TRAIN.IMS_PER_BATCH", "2",
+        "TRAIN.BATCH_SIZE_PER_IM", "32",
+        "TRAIN.RPN_PRE_NMS_TOP_N", "64",
+        "TRAIN.RPN_POST_NMS_TOP_N", "16",
+        "TRAIN.RPN_BATCH_SIZE_PER_IM", "32",
+        "SOLVER.BASE_LR", "0.01",
+        "SOLVER.WARM_UP_ITERS", "2",
+        "SOLVER.LR_POLICY", "steps_with_decay",
+        "SOLVER.STEPS", "[0, 100]",
+        "SOLVER.MAX_ITER", "200",
+        "TPU.NMS_TILE_SIZE", "32",
+        "TPU.MAX_GT_BOXES", "8",
+    ])
+    config.assert_and_infer_cfg(make_immutable=False)
+
+
+def _tiny_batch(B=2, size=64, G=8):
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": jnp.asarray(rng.randn(B, size, size, 3), jnp.float32),
+        "im_info": jnp.asarray([[size, size, 1.0]] * B, jnp.float32),
+        "gt_boxes": jnp.asarray(
+            np.stack([np.array([[4, 4, 30, 30], [20, 20, 60, 60]] + [[0, 0, 0, 0]] * (G - 2),
+                               np.float32)] * B)),
+        "gt_classes": jnp.asarray(
+            np.stack([np.array([1, 3] + [0] * (G - 2), np.int32)] * B)),
+        "gt_valid": jnp.asarray(
+            np.stack([np.array([1, 1] + [0] * (G - 2), bool)] * B)),
+        "crowd_boxes": jnp.zeros((B, 2, 4), jnp.float32),
+        "crowd_valid": jnp.zeros((B, 2), bool),
+    }
+    if cfg.MODEL.MASK_ON:
+        masks = np.zeros((B, G, 28, 28), np.float32)
+        masks[:, :, 6:22, 6:22] = 1.0
+        batch["gt_masks"] = jnp.asarray(masks)
+    return batch
+
+
+def test_train_step_runs_and_decreases_nothing_nan():
+    _tiny_train_cfg()
+    params = mb.init_model(jax.random.PRNGKey(0))
+    opt_state = opt.init_opt_state(params)
+    batch = _tiny_batch()
+    rng = jax.random.PRNGKey(1)
+
+    params2, opt_state2, stats = jax.jit(ts.train_step)(
+        params, opt_state, batch, rng)
+    for k, v in stats.items():
+        assert np.isfinite(np.asarray(v)).all(), (k, v)
+    assert int(opt_state2["step"]) == 1
+    # Params changed
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     params, params2)
+    total_change = sum(jax.tree.leaves(d))
+    assert total_change > 0
+
+
+def test_train_step_mask_on():
+    _tiny_train_cfg(mask_on=True)
+    params = mb.init_model(jax.random.PRNGKey(0))
+    opt_state = opt.init_opt_state(params)
+    batch = _tiny_batch()
+    _, _, stats = jax.jit(ts.train_step)(
+        params, opt_state, batch, jax.random.PRNGKey(1))
+    assert "loss_mask" in stats
+    assert np.isfinite(float(stats["loss_mask"]))
+
+
+def test_pjit_train_step_on_virtual_mesh():
+    _tiny_train_cfg()
+    mesh = mesh_mod.make_mesh()  # 8 virtual CPU devices from conftest
+    assert mesh.devices.size == 8
+    config.merge_cfg_from_list(["TRAIN.IMS_PER_BATCH", "8"])
+    params = mb.init_model(jax.random.PRNGKey(0))
+    opt_state = opt.init_opt_state(params)
+    batch = _tiny_batch(B=8)
+    with mesh:
+        step = ts.make_pjit_train_step(mesh, donate=False)
+        batch = mesh_mod.shard_batch(mesh, batch)
+        p2, o2, stats = step(params, opt_state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(stats["loss"]))
+
+
+def test_lr_schedule():
+    _tiny_train_cfg()
+    lr_fn = opt.make_lr_fn()
+    # Warmup: step 0 -> base * warm_factor
+    lr0 = float(lr_fn(jnp.int32(0)))
+    assert lr0 == pytest.approx(0.01 / 3.0, rel=1e-5)
+    # After warmup, before decay step 100
+    assert float(lr_fn(jnp.int32(50))) == pytest.approx(0.01)
+    # After decay step
+    assert float(lr_fn(jnp.int32(150))) == pytest.approx(0.001)
