@@ -323,6 +323,9 @@ __C.TPU.MAX_GT_BOXES = 100
 # Pad per-image proposals to this many RoIs at inference (post-NMS cap).
 # -1 => use TEST.RPN_POST_NMS_TOP_N.
 __C.TPU.TEST_ROIS_PER_IM = -1
+# RoI chunk size for RoIAlign / head evaluation (bounds the per-chunk
+# gather/matmul intermediates; see ops/multilevel_roi.py).
+__C.TPU.ROI_CHUNK = 128
 
 # ---------------------------------------------------------------------------
 # Misc

@@ -219,31 +219,62 @@ def roi_feature_transform(params, features, scales, rois, resolution,
     if len(features) == 1:
         return ra_ops.roi_align_batched(
             features[0], rois, scales[0], resolution, resolution,
-            sampling_ratio)
+            sampling_ratio, chunk=cfg.TPU.ROI_CHUNK)
+
+    # FPN: gather-based crop over the flattened pyramid (ops/multilevel_roi),
+    # RoI-chunked — the production TPU path. Only ROI_MIN..ROI_MAX levels
+    # participate (P6 is RPN-only).
+    from detectron_tpu.ops import multilevel_roi as ml_ops
+    lo = fpn_mod.lowest_backbone_lvl()
+    k_min, k_max = cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL
+    roi_feats = features[k_min - lo: k_max - lo + 1]
+    roi_scales = tuple(scales[k_min - lo: k_max - lo + 1])
 
     def one_image(per_level_feats, r):
-        return fpn_mod.multilevel_roi_align(
-            per_level_feats, scales, r, resolution, resolution,
-            sampling_ratio)
+        return ml_ops.multilevel_roi_align(
+            per_level_feats, roi_scales, r, resolution, sampling_ratio,
+            k_min, k_max,
+            canonical_scale=cfg.FPN.ROI_CANONICAL_SCALE,
+            canonical_level=cfg.FPN.ROI_CANONICAL_LEVEL,
+            chunk=cfg.TPU.ROI_CHUNK)
 
-    # Only ROI_MIN..ROI_MAX levels participate (P6 is RPN-only).
-    lo = fpn_mod.lowest_backbone_lvl()
-    roi_feats = features[: cfg.FPN.ROI_MAX_LEVEL - lo + 1]
     return jax.vmap(one_image, in_axes=(0, 0))(roi_feats, rois)
+
+
+def _c4_crop_and_head(params, feat_one, rois_one, scale):
+    """C4 path for ONE image: fused (RoIAlign -> res5 -> avgpool) evaluated
+    in RoI chunks so the (R, 14, 14, 1024) pooled features never fully
+    materialize (they would be GBs at R=1000 test proposals)."""
+    R = rois_one.shape[0]
+    chunk = min(cfg.TPU.ROI_CHUNK, R)
+    n_chunks = max(1, -(-R // chunk))
+    pad = n_chunks * chunk - R
+    rois_p = jnp.pad(rois_one, ((0, pad), (0, 0))) if pad else rois_one
+    rois_c = rois_p.reshape(n_chunks, chunk, 4)
+    res = cfg.FAST_RCNN.ROI_XFORM_RESOLUTION
+
+    def one(rc):
+        pooled = ra_ops.roi_align(
+            feat_one, rc, scale, res, res,
+            cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO)
+        return resnet.apply_roi_conv5_head(params["box_head"], pooled)
+
+    out = jax.lax.map(one, rois_c)
+    return out.reshape(n_chunks * chunk, -1)[:R]
 
 
 def forward_box_outputs(params, features, scales, rois):
     """RoI transform + box head + box outputs for the whole batch.
     rois: (B, R, 4) -> (cls_logits (B, R, C), bbox_pred (B, R, 4C'))."""
     spec = build_spec()
-    roi_feat = roi_feature_transform(
-        params, features, scales, rois,
-        cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
-        cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO)
-    B, R = roi_feat.shape[:2]
-    flat = roi_feat.reshape((B * R,) + roi_feat.shape[2:])
+    B, R = rois.shape[:2]
 
     if spec.is_fpn:
+        roi_feat = roi_feature_transform(
+            params, features, scales, rois,
+            cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
+            cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO)
+        flat = roi_feat.reshape((B * R,) + roi_feat.shape[2:])
         head_name = cfg.FAST_RCNN.ROI_BOX_HEAD
         if "roi_2mlp_head" in head_name:
             feat = fast_rcnn_heads.apply_roi_2mlp_head(params["box_head"], flat)
@@ -251,7 +282,10 @@ def forward_box_outputs(params, features, scales, rois):
             feat = fast_rcnn_heads.apply_roi_Xconv1fc_head(
                 params["box_head"], flat)
     else:
-        feat = resnet.apply_roi_conv5_head(params["box_head"], flat)
+        feat = jax.vmap(
+            lambda f, r: _c4_crop_and_head(params, f, r, scales[0])
+        )(features[0], rois)
+        feat = feat.reshape(B * R, -1)
 
     cls_logits, bbox_pred = fast_rcnn_heads.apply_fast_rcnn_outputs(
         params["box_outs"], feat)

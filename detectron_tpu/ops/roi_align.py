@@ -117,14 +117,49 @@ def roi_align(feat, rois, spatial_scale, pooled_h, pooled_w,
     return out.astype(feat.dtype)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("pooled_h", "pooled_w", "sampling_ratio", "grid_cap",
+                     "chunk"),
+)
+def roi_align_chunked(feat, rois, spatial_scale, pooled_h, pooled_w,
+                      sampling_ratio=0, grid_cap=4, chunk=64):
+    """roi_align with the RoI dim processed in lax.map chunks, bounding the
+    (chunk, P, W, C) matmul intermediate (the unchunked op would materialize
+    R*P*W*C floats — several GB at production sizes)."""
+    R = rois.shape[0]
+    n_chunks = max(1, -(-R // chunk))
+    pad = n_chunks * chunk - R
+    rois_p = jnp.pad(rois, ((0, pad), (0, 0))) if pad else rois
+    rois_c = rois_p.reshape(n_chunks, chunk, 4)
+
+    def one(rc):
+        return roi_align(feat, rc, spatial_scale, pooled_h, pooled_w,
+                         sampling_ratio, grid_cap)
+
+    out = jax.lax.map(one, rois_c)
+    out = out.reshape((n_chunks * chunk,) + out.shape[2:])
+    return out[:R]
+
+
 def roi_align_batched(feats, rois, spatial_scale, pooled_h, pooled_w,
-                      sampling_ratio=0, grid_cap=4):
+                      sampling_ratio=0, grid_cap=4, chunk=None):
     """vmap over a leading batch dim: feats (B,H,W,C), rois (B,R,4)."""
-    fn = functools.partial(
-        roi_align,
-        pooled_h=pooled_h,
-        pooled_w=pooled_w,
-        sampling_ratio=sampling_ratio,
-        grid_cap=grid_cap,
-    )
+    if chunk:
+        fn = functools.partial(
+            roi_align_chunked,
+            pooled_h=pooled_h,
+            pooled_w=pooled_w,
+            sampling_ratio=sampling_ratio,
+            grid_cap=grid_cap,
+            chunk=chunk,
+        )
+    else:
+        fn = functools.partial(
+            roi_align,
+            pooled_h=pooled_h,
+            pooled_w=pooled_w,
+            sampling_ratio=sampling_ratio,
+            grid_cap=grid_cap,
+        )
     return jax.vmap(fn, in_axes=(0, 0, None))(feats, rois, spatial_scale)

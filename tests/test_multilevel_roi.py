@@ -1,0 +1,77 @@
+import numpy as np
+import jax.numpy as jnp
+
+from detectron_tpu.core import config
+from detectron_tpu.models import fpn as fpn_mod
+from detectron_tpu.ops import multilevel_roi as ml
+from detectron_tpu.ops import roi_align as ra
+
+
+def test_gather_matches_dense_single_level():
+    rng = np.random.RandomState(0)
+    feat = rng.randn(32, 40, 8).astype(np.float32)
+    rois = np.array(
+        [
+            [0, 0, 100, 100],
+            [37.3, 11.2, 200.9, 150.4],
+            [5, 5, 20, 60],
+            [300, 300, 500, 460],
+        ],
+        dtype=np.float32,
+    )
+    dense = ra.roi_align(jnp.asarray(feat), jnp.asarray(rois), 0.25,
+                         pooled_h=7, pooled_w=7, sampling_ratio=2)
+    # Single-level pyramid; canonical mapping collapses to that level.
+    gathered = ml.multilevel_roi_align(
+        [jnp.asarray(feat)], (0.25,), jnp.asarray(rois), pooled=7,
+        sampling_ratio=2, k_min=2, k_max=2, chunk=3)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(gathered),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_gather_matches_dense_multilevel():
+    config.merge_cfg_from_list([
+        "FPN.ROI_MIN_LEVEL", "2", "FPN.ROI_MAX_LEVEL", "5",
+        "FPN.ROI_CANONICAL_SCALE", "224", "FPN.ROI_CANONICAL_LEVEL", "4",
+    ])
+    rng = np.random.RandomState(1)
+    pyramid = [
+        jnp.asarray(rng.randn(64, 80, 4).astype(np.float32)),   # P2 /4
+        jnp.asarray(rng.randn(32, 40, 4).astype(np.float32)),   # P3 /8
+        jnp.asarray(rng.randn(16, 20, 4).astype(np.float32)),   # P4 /16
+        jnp.asarray(rng.randn(8, 10, 4).astype(np.float32)),    # P5 /32
+    ]
+    scales = (0.25, 0.125, 0.0625, 0.03125)
+    # RoIs spanning all levels (sizes ~40 -> P2, ~120 -> P3, ~250 -> P4,
+    # ~500 -> P5)
+    rois = np.array(
+        [
+            [10, 10, 50, 50],
+            [0, 0, 120, 125],
+            [5, 5, 250, 260],
+            [0, 0, 310, 250],
+            [3, 7, 33, 100],
+        ],
+        dtype=np.float32,
+    )
+    dense = fpn_mod.multilevel_roi_align(
+        pyramid, list(scales), jnp.asarray(rois), 7, 7, 2, k_min=2, k_max=5)
+    gathered = ml.multilevel_roi_align(
+        pyramid, scales, jnp.asarray(rois), pooled=7, sampling_ratio=2,
+        k_min=2, k_max=5, chunk=2)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(gathered),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_dense_matches_unchunked():
+    rng = np.random.RandomState(2)
+    feat = rng.randn(20, 24, 5).astype(np.float32)
+    rois = rng.uniform(0, 300, (11, 4)).astype(np.float32)
+    rois[:, 2:] = rois[:, :2] + rng.uniform(10, 100, (11, 2))
+    a = ra.roi_align(jnp.asarray(feat), jnp.asarray(rois), 1 / 16.0,
+                     pooled_h=7, pooled_w=7, sampling_ratio=2)
+    b = ra.roi_align_chunked(jnp.asarray(feat), jnp.asarray(rois), 1 / 16.0,
+                             pooled_h=7, pooled_w=7, sampling_ratio=2,
+                             chunk=4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)
