@@ -326,6 +326,14 @@ __C.TPU.TEST_ROIS_PER_IM = -1
 # RoI chunk size for RoIAlign / head evaluation (bounds the per-chunk
 # gather/matmul intermediates; see ops/multilevel_roi.py).
 __C.TPU.ROI_CHUNK = 128
+# FPN RoIAlign implementation: 'windowed' (one window slice per RoI + MXU
+# interpolation matmuls — fastest on TPU) or 'gather' (pure point gathers —
+# exact for arbitrarily extreme aspect ratios, slower).
+__C.TPU.ROI_IMPL = "windowed"
+# Window size (feature cells) for the windowed implementation. 40 covers
+# every RoI the FPN level assignment can produce at <=1333px inputs except
+# extreme aspect ratios, which clamp.
+__C.TPU.ROI_WINDOW = 40
 
 # ---------------------------------------------------------------------------
 # Misc

@@ -221,22 +221,35 @@ def roi_feature_transform(params, features, scales, rois, resolution,
             features[0], rois, scales[0], resolution, resolution,
             sampling_ratio, chunk=cfg.TPU.ROI_CHUNK)
 
-    # FPN: gather-based crop over the flattened pyramid (ops/multilevel_roi),
-    # RoI-chunked — the production TPU path. Only ROI_MIN..ROI_MAX levels
+    # FPN: windowed (default) or gather-based crop over the pyramid,
+    # RoI-chunked — the production TPU paths. Only ROI_MIN..ROI_MAX levels
     # participate (P6 is RPN-only).
-    from detectron_tpu.ops import multilevel_roi as ml_ops
     lo = fpn_mod.lowest_backbone_lvl()
     k_min, k_max = cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL
     roi_feats = features[k_min - lo: k_max - lo + 1]
     roi_scales = tuple(scales[k_min - lo: k_max - lo + 1])
 
-    def one_image(per_level_feats, r):
-        return ml_ops.multilevel_roi_align(
-            per_level_feats, roi_scales, r, resolution, sampling_ratio,
-            k_min, k_max,
-            canonical_scale=cfg.FPN.ROI_CANONICAL_SCALE,
-            canonical_level=cfg.FPN.ROI_CANONICAL_LEVEL,
-            chunk=cfg.TPU.ROI_CHUNK)
+    if cfg.TPU.ROI_IMPL == "windowed":
+        from detectron_tpu.ops import windowed_roi as win_ops
+
+        def one_image(per_level_feats, r):
+            return win_ops.multilevel_roi_align_windowed(
+                per_level_feats, roi_scales, r, resolution, sampling_ratio,
+                k_min, k_max,
+                canonical_scale=cfg.FPN.ROI_CANONICAL_SCALE,
+                canonical_level=cfg.FPN.ROI_CANONICAL_LEVEL,
+                window=cfg.TPU.ROI_WINDOW,
+                chunk=cfg.TPU.ROI_CHUNK)
+    else:
+        from detectron_tpu.ops import multilevel_roi as ml_ops
+
+        def one_image(per_level_feats, r):
+            return ml_ops.multilevel_roi_align(
+                per_level_feats, roi_scales, r, resolution, sampling_ratio,
+                k_min, k_max,
+                canonical_scale=cfg.FPN.ROI_CANONICAL_SCALE,
+                canonical_level=cfg.FPN.ROI_CANONICAL_LEVEL,
+                chunk=cfg.TPU.ROI_CHUNK)
 
     return jax.vmap(one_image, in_axes=(0, 0))(roi_feats, rois)
 

@@ -1,0 +1,166 @@
+"""Windowed multilevel RoIAlign: one contiguous window slice per RoI +
+dense in-window interpolation matmuls. The production inference path.
+
+Why: the pure gather formulation (ops/multilevel_roi.py) issues 4 point
+gathers per bilinear sample — millions of 512-byte reads that TPUs execute
+poorly (~160 ms/batch measured on v5e for Mask R-CNN R-50-FPN test shapes).
+Dense per-level interpolation matmuls (ops/roi_align.py) are MXU-friendly
+but do O(R * H_l * W_l) work — prohibitive at P2. This module takes the
+middle path that fits the hardware:
+
+1. All pyramid levels are stacked row-wise into ONE tall canvas
+   (sum_l H'_l, W_max, C), each level zero-padded to the window size, so a
+   RoI's feature neighborhood at ANY level is a single contiguous 2-D window.
+2. Each RoI takes one (WIN, WIN, C) dynamic_slice — a coarse-grained block
+   gather the DMA engines execute efficiently.
+3. Bilinear sampling + grid averaging become two small matmuls against
+   per-RoI interpolation weight matrices (exactly as ops/roi_align.py), all
+   inside the window.
+
+Exactness: identical to Detectron RoIAlign whenever the RoI's feature extent
+fits the window (true by construction of FPN level assignment: extent is
+~[14, 28) cells for unclamped levels; WIN=40 also covers the P5-clamped
+whole-image case at 1333px). Larger extents (extreme aspect ratios) clamp
+sample coordinates to the window edge — a bounded approximation on <0.1% of
+RoIs. Set WIN higher for exactness at more memory.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _axis_weights_window(rel_coords, in_bounds, size):
+    """(R, S) window-relative sample coords -> (R, S, size) bilinear weights
+    (Detectron semantics; callers pre-clamp and pre-mask)."""
+    c = jnp.clip(rel_coords, 0.0, size - 1.0)
+    idx = jnp.arange(size, dtype=rel_coords.dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(c[..., None] - idx))
+    return w * in_bounds[..., None]
+
+
+def build_canvas(pyramid, window):
+    """Stack levels row-wise, each padded to (>=window rows, W_max + pad
+    cols). Returns (canvas (Hc, Wc, C), row_offsets list, (H_l, W_l) list)."""
+    C = pyramid[0].shape[-1]
+    wmax = max(f.shape[1] for f in pyramid) + window
+    blocks = []
+    row_offsets = []
+    dims = []
+    r = 0
+    for f in pyramid:
+        H, W = f.shape[:2]
+        Hp = max(H, window)
+        blk = jnp.pad(f, ((0, Hp - H), (0, wmax - W), (0, 0)))
+        blocks.append(blk)
+        row_offsets.append(r)
+        dims.append((H, W))
+        r += Hp
+    return jnp.concatenate(blocks, axis=0), row_offsets, dims
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pooled", "sampling_ratio", "k_min", "k_max", "window",
+                     "chunk", "canonical_scale", "canonical_level"),
+)
+def multilevel_roi_align_windowed(pyramid, scales, rois, pooled,
+                                  sampling_ratio, k_min, k_max,
+                                  canonical_scale=224, canonical_level=4,
+                                  window=40, chunk=256):
+    """pyramid: list of (H_l, W_l, C) for ONE image (k_min..k_max);
+    rois: (R, 4) image coords. Returns (R, pooled, pooled, C)."""
+    assert sampling_ratio > 0
+    L = len(pyramid)
+    assert L == k_max - k_min + 1
+    C = pyramid[0].shape[-1]
+    dtype = pyramid[0].dtype
+
+    canvas, row_offsets, dims = build_canvas(pyramid, window)
+    Hc, Wc = canvas.shape[:2]
+    heights = jnp.asarray([d[0] for d in dims], jnp.float32)
+    widths = jnp.asarray([d[1] for d in dims], jnp.float32)
+    row_off = jnp.asarray(row_offsets, jnp.float32)
+    pad_rows = jnp.asarray([max(d[0], window) for d in dims], jnp.float32)
+
+    rois = rois.astype(jnp.float32)
+    w = rois[:, 2] - rois[:, 0] + 1.0
+    h = rois[:, 3] - rois[:, 1] + 1.0
+    s = jnp.sqrt(jnp.maximum(w * h, 1e-12))
+    lvl = jnp.clip(
+        jnp.floor(canonical_level + jnp.log2(s / canonical_scale + 1e-6)),
+        k_min, k_max).astype(jnp.int32) - k_min
+
+    lvl_scale = jnp.asarray(scales, jnp.float32)[lvl]
+    Hl = heights[lvl]
+    Wl = widths[lvl]
+    off_y = row_off[lvl]
+    Hp = pad_rows[lvl]
+
+    x1 = rois[:, 0] * lvl_scale
+    y1 = rois[:, 1] * lvl_scale
+    roi_w = jnp.maximum((rois[:, 2] - rois[:, 0]) * lvl_scale, 1.0)
+    roi_h = jnp.maximum((rois[:, 3] - rois[:, 1]) * lvl_scale, 1.0)
+
+    S = pooled * sampling_ratio
+    p = jnp.arange(S, dtype=jnp.float32)
+    bins = p // sampling_ratio
+    g = p % sampling_ratio
+    ys = y1[:, None] + bins[None, :] * (roi_h / pooled)[:, None] + \
+        (g[None, :] + 0.5) * (roi_h / pooled)[:, None] / sampling_ratio
+    xs = x1[:, None] + bins[None, :] * (roi_w / pooled)[:, None] + \
+        (g[None, :] + 0.5) * (roi_w / pooled)[:, None] / sampling_ratio
+
+    in_y = (ys >= -1.0) & (ys <= Hl[:, None])
+    in_x = (xs >= -1.0) & (xs <= Wl[:, None])
+    # Clamp to the level (Detectron edge rule), then express relative to the
+    # window (clamping to the window edge for oversize RoIs).
+    yc = jnp.clip(ys, 0.0, Hl[:, None] - 1.0)
+    xc = jnp.clip(xs, 0.0, Wl[:, None] - 1.0)
+
+    # Window start: center-ish on the RoI, clamped inside the level's padded
+    # block so the slice never crosses into another level.
+    wy0 = jnp.clip(jnp.floor(y1) - 1.0, 0.0, Hp - window)
+    wx0 = jnp.clip(jnp.floor(x1) - 1.0, 0.0, jnp.float32(Wc - window))
+
+    rel_y = jnp.clip(yc - wy0[:, None], 0.0, window - 1.0)
+    rel_x = jnp.clip(xc - wx0[:, None], 0.0, window - 1.0)
+
+    vy = _axis_weights_window(rel_y, in_y.astype(jnp.float32), window)
+    vx = _axis_weights_window(rel_x, in_x.astype(jnp.float32), window)
+    # Fold the G-sample average into the weights: (R, S, WIN) -> (R, P, WIN)
+    R = rois.shape[0]
+    vy = vy.reshape(R, pooled, sampling_ratio, window).mean(axis=2)
+    vx = vx.reshape(R, pooled, sampling_ratio, window).mean(axis=2)
+    vy = vy.astype(dtype)
+    vx = vx.astype(dtype)
+
+    start_y = (off_y + wy0).astype(jnp.int32)
+    start_x = wx0.astype(jnp.int32)
+
+    n_chunks = max(1, -(-R // chunk))
+    pad = n_chunks * chunk - R
+
+    def padz(a):
+        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)) if pad else a
+
+    args = jax.tree.map(padz, (start_y, start_x, vy, vx))
+    args = jax.tree.map(
+        lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), args)
+
+    def do_chunk(a):
+        sy, sx, vyc, vxc = a
+        win = jax.vmap(
+            lambda y0, x0: jax.lax.dynamic_slice(
+                canvas, (y0, x0, jnp.int32(0)), (window, window, C))
+        )(sy, sx)  # (chunk, WIN, WIN, C)
+        tmp = jnp.einsum("rph,rhwc->rpwc", vyc, win,
+                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("rqw,rpwc->rpqc", vxc.astype(jnp.float32), tmp,
+                         preferred_element_type=jnp.float32)
+        return out.astype(dtype)
+
+    out = jax.lax.map(do_chunk, args)
+    out = out.reshape((n_chunks * chunk, pooled, pooled, C))
+    return out[:R]

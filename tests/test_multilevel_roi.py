@@ -75,3 +75,36 @@ def test_chunked_dense_matches_unchunked():
                              chunk=4)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_windowed_matches_dense_multilevel():
+    from detectron_tpu.ops import windowed_roi as win
+    rng = np.random.RandomState(3)
+    pyramid = [
+        jnp.asarray(rng.randn(64, 80, 4).astype(np.float32)),
+        jnp.asarray(rng.randn(32, 40, 4).astype(np.float32)),
+        jnp.asarray(rng.randn(16, 20, 4).astype(np.float32)),
+        jnp.asarray(rng.randn(8, 10, 4).astype(np.float32)),
+    ]
+    scales = (0.25, 0.125, 0.0625, 0.03125)
+    rois = np.array(
+        [
+            [10, 10, 50, 50],
+            [0, 0, 120, 125],
+            [5, 5, 250, 260],
+            [0, 0, 310, 250],
+            [3, 7, 33, 100],
+            [17.5, 3.25, 63.75, 77.5],
+        ],
+        dtype=np.float32,
+    )
+    config.merge_cfg_from_list([
+        "FPN.ROI_MIN_LEVEL", "2", "FPN.ROI_MAX_LEVEL", "5",
+    ])
+    dense = fpn_mod.multilevel_roi_align(
+        pyramid, list(scales), jnp.asarray(rois), 7, 7, 2, k_min=2, k_max=5)
+    windowed = win.multilevel_roi_align_windowed(
+        pyramid, scales, jnp.asarray(rois), pooled=7, sampling_ratio=2,
+        k_min=2, k_max=5, window=40, chunk=4)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(windowed),
+                               rtol=1e-4, atol=1e-4)
