@@ -40,16 +40,17 @@ def main():
 
     fn = jax.jit(test_engine.detect_graph)
 
-    # Warmup / compile
+    # Warmup / compile. NOTE: a small host readback is the synchronization
+    # point — block_until_ready does not reliably fence the tunnel backend.
     out = fn(params, images, im_info)
-    jax.block_until_ready(out)
+    np.asarray(out["scores"])
 
     n_iters = 10
     times = []
     for _ in range(n_iters):
         t0 = time.perf_counter()
         out = fn(params, images, im_info)
-        jax.block_until_ready(out)
+        np.asarray(out["scores"])
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 

@@ -320,6 +320,9 @@ __C.TPU.MESH_AXES = ("data",)
 __C.TPU.NMS_TILE_SIZE = 256
 # Max ground-truth boxes per image (static padding of gt arrays).
 __C.TPU.MAX_GT_BOXES = 100
+# Per-gt dense mask crop resolution rasterized by the loader (the in-graph
+# mask-target op crop-resizes these to MRCNN.RESOLUTION per sampled RoI).
+__C.TPU.GT_MASK_SIZE = 112
 # Pad per-image proposals to this many RoIs at inference (post-NMS cap).
 # -1 => use TEST.RPN_POST_NMS_TOP_N.
 __C.TPU.TEST_ROIS_PER_IM = -1
