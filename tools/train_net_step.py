@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Train a Generalized R-CNN with the jit-compiled step-wise loop.
+
+CLI-compatible rebuild of the reference's tools/train_net_step.py: same
+flags (--dataset --cfg --bs --nw --iter_size --lr --lr_decay_gamma --resume
+--load_ckpt --load_detectron --use_tfboard --no_save --set ...), same
+linear-scaling re-derivation of lr/steps when the batch size differs from
+the config's NUM_GPUS schedule. The step itself is one pjit'd program over a
+data mesh (no DataParallel, no loader-side target assignment).
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+import _init_paths  # noqa: F401
+
+from detectron_tpu.core import config as core_config
+from detectron_tpu.core.config import (
+    assert_and_infer_cfg, cfg, merge_cfg_from_file, merge_cfg_from_list)
+from detectron_tpu.utils.logging import setup_logging
+
+logger = setup_logging(__name__)
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Train a detection model")
+    parser.add_argument("--dataset", help="coco2017 | coco2014 | keypoints_coco2017 | ...")
+    parser.add_argument("--cfg", dest="cfg_file", help="config yaml")
+    parser.add_argument("--bs", dest="batch_size", type=int,
+                        help="global minibatch size (images)")
+    parser.add_argument("--nw", dest="num_workers", type=int,
+                        help="data loader threads")
+    parser.add_argument("--iter_size", type=int, default=1,
+                        help="gradient accumulation steps")
+    parser.add_argument("--o", dest="optimizer", help="ignored (SGD only)")
+    parser.add_argument("--lr", type=float, help="base LR override")
+    parser.add_argument("--lr_decay_gamma", type=float)
+    parser.add_argument("--start_step", type=int, default=0)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--load_ckpt", help="checkpoint dir to load")
+    parser.add_argument("--load_detectron", help="Detectron .pkl weights")
+    parser.add_argument("--use_tfboard", action="store_true")
+    parser.add_argument("--no_save", action="store_true")
+    parser.add_argument("--ckpt_num_per_epoch", type=int, default=3)
+    parser.add_argument("--disp_interval", type=int, default=20)
+    parser.add_argument("--set", dest="set_cfgs", nargs="+", default=[])
+    return parser.parse_args()
+
+
+DATASET_MAP = {
+    "coco2017": ("coco_2017_train",),
+    "coco2014": ("coco_2014_train", "coco_2014_valminusminival"),
+    "keypoints_coco2017": ("keypoints_coco_2017_train",),
+    "keypoints_coco2014": ("keypoints_coco_2014_train",
+                           "keypoints_coco_2014_valminusminival"),
+    "voc2007": ("voc_2007_trainval",),
+    "voc2012": ("voc_2012_trainval",),
+}
+
+
+def main():
+    import jax
+
+    from detectron_tpu.data.loader import TrainLoader
+    from detectron_tpu.data.roidb import combined_roidb_for_training
+    from detectron_tpu.models import model_builder as mb
+    from detectron_tpu.parallel import mesh as mesh_mod
+    from detectron_tpu.parallel import optimizer as opt
+    from detectron_tpu.parallel import train_step as ts
+    from detectron_tpu.utils import net as net_utils
+    from detectron_tpu.utils.training_stats import TrainingStats
+
+    args = parse_args()
+    if args.cfg_file:
+        merge_cfg_from_file(args.cfg_file)
+    if args.set_cfgs:
+        merge_cfg_from_list(args.set_cfgs)
+    if args.dataset:
+        cfg.TRAIN.DATASETS = DATASET_MAP.get(args.dataset, (args.dataset,))
+        if "keypoints" in (args.dataset or ""):
+            cfg.MODEL.NUM_CLASSES = 2
+        elif "coco" in (args.dataset or ""):
+            cfg.MODEL.NUM_CLASSES = 81
+        elif "voc" in (args.dataset or ""):
+            cfg.MODEL.NUM_CLASSES = 21
+
+    n_devices = len(jax.devices())
+    original_batch_size = cfg.NUM_GPUS * cfg.TRAIN.IMS_PER_BATCH
+    batch_size = args.batch_size or n_devices * cfg.TRAIN.IMS_PER_BATCH
+    assert batch_size % n_devices == 0, \
+        "batch size must divide the device count"
+
+    # Gradual-warmup linear-scaling rule (reference train_net_step.py):
+    # rescale BASE_LR / STEPS / MAX_ITER when bs != the config's schedule.
+    step_scale = original_batch_size / (batch_size * args.iter_size)
+    old_base_lr = cfg.SOLVER.BASE_LR
+    cfg.SOLVER.BASE_LR *= batch_size * args.iter_size / original_batch_size
+    cfg.SOLVER.MAX_ITER = int(cfg.SOLVER.MAX_ITER * step_scale)
+    cfg.SOLVER.STEPS = tuple(int(s * step_scale) for s in cfg.SOLVER.STEPS)
+    logger.info("Linear scaling: lr %.5f -> %.5f, max_iter -> %d",
+                old_base_lr, cfg.SOLVER.BASE_LR, cfg.SOLVER.MAX_ITER)
+    if args.lr is not None:
+        cfg.SOLVER.BASE_LR = args.lr
+    if args.lr_decay_gamma is not None:
+        cfg.SOLVER.GAMMA = args.lr_decay_gamma
+    cfg.TRAIN.IMS_PER_BATCH = batch_size
+
+    assert_and_infer_cfg(make_immutable=False)
+
+    roidb, ratio_list, ratio_index = combined_roidb_for_training(
+        cfg.TRAIN.DATASETS, cfg.TRAIN.PROPOSAL_FILES)
+    logger.info("%d roidb entries", len(roidb))
+
+    output_dir = os.path.join(
+        cfg.OUTPUT_DIR,
+        os.path.splitext(os.path.basename(args.cfg_file or "default"))[0])
+    os.makedirs(output_dir, exist_ok=True)
+
+    params = mb.init_model(jax.random.PRNGKey(cfg.RNG_SEED))
+    if args.load_detectron:
+        from detectron_tpu.utils import detectron_weight_helper as dwh
+        params = dwh.load_detectron_weight(params, args.load_detectron)
+    elif cfg.MODEL.LOAD_IMAGENET_PRETRAINED_WEIGHTS:
+        from detectron_tpu.utils import resnet_weights_helper as rwh
+        params = rwh.load_pretrained_imagenet_weights(params)
+
+    opt_state = opt.init_opt_state(params)
+    start_step = args.start_step
+    if args.load_ckpt:
+        step_loaded, payload = net_utils.load_ckpt(args.load_ckpt)
+        params = payload["params"]
+        if args.resume and "opt_state" in payload:
+            opt_state = payload["opt_state"]
+            start_step = step_loaded
+    import jax.numpy as jnp
+    opt_state["step"] = jnp.asarray(start_step, jnp.int32)
+
+    mesh = mesh_mod.make_mesh()
+    step_fn = ts.make_pjit_train_step(mesh, donate=False)
+    loader = TrainLoader(roidb, batch_size,
+                         num_threads=args.num_workers)
+
+    tblogger = None
+    if args.use_tfboard:
+        from tensorboardX import SummaryWriter
+        tblogger = SummaryWriter(output_dir)
+
+    training_stats = TrainingStats(
+        args, args.disp_interval, tblogger)
+    ckpt_interval = max(
+        1, int(len(roidb) / batch_size / args.ckpt_num_per_epoch))
+
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    try:
+        with mesh:
+            for step in range(start_step, cfg.SOLVER.MAX_ITER):
+                training_stats.IterTic()
+                batch = mesh_mod.shard_batch(mesh, next(loader))
+                params, opt_state, stats = step_fn(
+                    params, opt_state, batch, jax.random.fold_in(rng, step))
+                training_stats.IterToc()
+                training_stats.UpdateIterStats(
+                    jax.tree.map(np.asarray, stats), step)
+                training_stats.LogIterStats(step)
+                if (not args.no_save and step > 0
+                        and step % ckpt_interval == 0):
+                    net_utils.save_ckpt(output_dir, step, params, opt_state)
+        if not args.no_save:
+            net_utils.save_ckpt(
+                output_dir, cfg.SOLVER.MAX_ITER, params, opt_state)
+    except (KeyboardInterrupt, Exception):
+        # Reference behavior: save a final checkpoint on interrupt/crash.
+        if not args.no_save:
+            net_utils.save_ckpt(
+                output_dir, int(np.asarray(opt_state["step"])), params,
+                opt_state)
+        raise
+    finally:
+        loader.close()
+        if tblogger:
+            tblogger.close()
+
+
+if __name__ == "__main__":
+    main()
