@@ -330,9 +330,9 @@ __C.TPU.TEST_ROIS_PER_IM = -1
 # gather/matmul intermediates; see ops/multilevel_roi.py).
 __C.TPU.ROI_CHUNK = 128
 # FPN RoIAlign implementation: 'windowed' (one window slice per RoI + MXU
-# interpolation matmuls — fastest on TPU) or 'gather' (pure point gathers —
+# interpolation matmuls — fastest on TPU) ("pallas": per-RoI DMA kernel), "windowed" (XLA dynamic_slice), or "gather" (point gathers;
 # exact for arbitrarily extreme aspect ratios, slower).
-__C.TPU.ROI_IMPL = "windowed"
+__C.TPU.ROI_IMPL = "pallas"
 # Window size (feature cells) for the windowed implementation. 40 covers
 # every RoI the FPN level assignment can produce at <=1333px inputs except
 # extreme aspect ratios, which clamp.

@@ -199,11 +199,16 @@ def generate_proposals(rpn_outs, features, im_info, training):
 
 
 def roi_feature_transform(params, features, scales, rois, resolution,
-                          sampling_ratio, method=None):
+                          sampling_ratio, method=None, impl=None):
     """Dispatch RoI feature extraction (reference:
     model_builder.roi_feature_transform). features: list of (B, H, W, C);
-    rois: (B, R, 4). Returns (B, R, P, P, C)."""
+    rois: (B, R, 4). Returns (B, R, P, P, C).
+
+    impl selects the FPN crop implementation ('pallas' | 'windowed' |
+    'gather'); defaults to cfg.TPU.ROI_IMPL. The Pallas kernel is
+    forward-only, so the train graph passes impl='windowed'."""
     method = method or cfg.FAST_RCNN.ROI_XFORM_METHOD
+    impl = impl or cfg.TPU.ROI_IMPL
     assert method in ("RoIAlign", "RoIPoolF", "RoICrop"), method
     if method != "RoIAlign":
         # RoIPoolF/RoICrop: lower-priority paths; RoIAlign is used by all e2e
@@ -229,7 +234,21 @@ def roi_feature_transform(params, features, scales, rois, resolution,
     roi_feats = features[k_min - lo: k_max - lo + 1]
     roi_scales = tuple(scales[k_min - lo: k_max - lo + 1])
 
-    if cfg.TPU.ROI_IMPL == "windowed":
+    if impl == "pallas":
+        import jax as _jax
+
+        from detectron_tpu.ops import windowed_roi as win_ops
+
+        return win_ops.multilevel_roi_align_pallas(
+            roi_feats, roi_scales, rois, resolution, sampling_ratio,
+            k_min, k_max,
+            canonical_scale=cfg.FPN.ROI_CANONICAL_SCALE,
+            canonical_level=cfg.FPN.ROI_CANONICAL_LEVEL,
+            window=cfg.TPU.ROI_WINDOW,
+            rois_per_step=8,
+            interpret=_jax.default_backend() == "cpu")
+
+    if impl == "windowed":
         from detectron_tpu.ops import windowed_roi as win_ops
 
         def one_image(per_level_feats, r):
@@ -276,7 +295,7 @@ def _c4_crop_and_head(params, feat_one, rois_one, scale):
     return out.reshape(n_chunks * chunk, -1)[:R]
 
 
-def forward_box_outputs(params, features, scales, rois):
+def forward_box_outputs(params, features, scales, rois, impl=None):
     """RoI transform + box head + box outputs for the whole batch.
     rois: (B, R, 4) -> (cls_logits (B, R, C), bbox_pred (B, R, 4C'))."""
     spec = build_spec()
@@ -286,7 +305,7 @@ def forward_box_outputs(params, features, scales, rois):
         roi_feat = roi_feature_transform(
             params, features, scales, rois,
             cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
-            cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO)
+            cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO, impl=impl)
         flat = roi_feat.reshape((B * R,) + roi_feat.shape[2:])
         head_name = cfg.FAST_RCNN.ROI_BOX_HEAD
         if "roi_2mlp_head" in head_name:

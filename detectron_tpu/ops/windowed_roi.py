@@ -60,30 +60,16 @@ def build_canvas(pyramid, window):
     return jnp.concatenate(blocks, axis=0), row_offsets, dims
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("pooled", "sampling_ratio", "k_min", "k_max", "window",
-                     "chunk", "canonical_scale", "canonical_level"),
-)
-def multilevel_roi_align_windowed(pyramid, scales, rois, pooled,
-                                  sampling_ratio, k_min, k_max,
-                                  canonical_scale=224, canonical_level=4,
-                                  window=40, chunk=256):
-    """pyramid: list of (H_l, W_l, C) for ONE image (k_min..k_max);
-    rois: (R, 4) image coords. Returns (R, pooled, pooled, C)."""
-    assert sampling_ratio > 0
-    L = len(pyramid)
-    assert L == k_max - k_min + 1
-    C = pyramid[0].shape[-1]
-    dtype = pyramid[0].dtype
+def window_params(rois, scales, heights, widths, row_off, pad_rows, Wc,
+                  pooled, sampling_ratio, k_min, k_max, canonical_scale,
+                  canonical_level, window_y, window_x, weight_dtype,
+                  align_x=1):
+    """Per-RoI window origins + interpolation weights (shared by the XLA
+    dynamic_slice path and the Pallas DMA kernel).
 
-    canvas, row_offsets, dims = build_canvas(pyramid, window)
-    Hc, Wc = canvas.shape[:2]
-    heights = jnp.asarray([d[0] for d in dims], jnp.float32)
-    widths = jnp.asarray([d[1] for d in dims], jnp.float32)
-    row_off = jnp.asarray(row_offsets, jnp.float32)
-    pad_rows = jnp.asarray([max(d[0], window) for d in dims], jnp.float32)
-
+    Returns (start_y, start_x) int32 (R,) into the stacked canvas and
+    vy/vx (R, pooled, window) weights with the sampling-grid average folded
+    in."""
     rois = rois.astype(jnp.float32)
     w = rois[:, 2] - rois[:, 0] + 1.0
     h = rois[:, 3] - rois[:, 1] + 1.0
@@ -120,24 +106,68 @@ def multilevel_roi_align_windowed(pyramid, scales, rois, pooled,
     xc = jnp.clip(xs, 0.0, Wl[:, None] - 1.0)
 
     # Window start: center-ish on the RoI, clamped inside the level's padded
-    # block so the slice never crosses into another level.
-    wy0 = jnp.clip(jnp.floor(y1) - 1.0, 0.0, Hp - window)
-    wx0 = jnp.clip(jnp.floor(x1) - 1.0, 0.0, jnp.float32(Wc - window))
+    # block so the slice never crosses into another level. The x start is
+    # rounded down to `align_x` (TPU sublane tiling needs 8-aligned W-dim
+    # DMA offsets; the extra slack is covered by a wider x window).
+    wy0 = jnp.clip(jnp.floor(y1) - 1.0, 0.0, Hp - window_y)
+    wx0 = jnp.clip(jnp.floor(x1) - 1.0, 0.0, jnp.float32(Wc - window_x))
+    if align_x > 1:
+        wx0 = jnp.floor(wx0 / align_x) * align_x
 
-    rel_y = jnp.clip(yc - wy0[:, None], 0.0, window - 1.0)
-    rel_x = jnp.clip(xc - wx0[:, None], 0.0, window - 1.0)
+    rel_y = jnp.clip(yc - wy0[:, None], 0.0, window_y - 1.0)
+    rel_x = jnp.clip(xc - wx0[:, None], 0.0, window_x - 1.0)
 
-    vy = _axis_weights_window(rel_y, in_y.astype(jnp.float32), window)
-    vx = _axis_weights_window(rel_x, in_x.astype(jnp.float32), window)
+    vy = _axis_weights_window(rel_y, in_y.astype(jnp.float32), window_y)
+    vx = _axis_weights_window(rel_x, in_x.astype(jnp.float32), window_x)
     # Fold the G-sample average into the weights: (R, S, WIN) -> (R, P, WIN)
     R = rois.shape[0]
-    vy = vy.reshape(R, pooled, sampling_ratio, window).mean(axis=2)
-    vx = vx.reshape(R, pooled, sampling_ratio, window).mean(axis=2)
-    vy = vy.astype(dtype)
-    vx = vx.astype(dtype)
+    vy = vy.reshape(R, pooled, sampling_ratio, window_y).mean(axis=2)
+    vx = vx.reshape(R, pooled, sampling_ratio, window_x).mean(axis=2)
+    vy = vy.astype(weight_dtype)
+    vx = vx.astype(weight_dtype)
 
     start_y = (off_y + wy0).astype(jnp.int32)
     start_x = wx0.astype(jnp.int32)
+    return start_y, start_x, vy, vx
+
+
+def _canvas_meta(pyramid, window):
+    dims = [(f.shape[-3], f.shape[-2]) for f in pyramid]
+    heights = jnp.asarray([d[0] for d in dims], jnp.float32)
+    widths = jnp.asarray([d[1] for d in dims], jnp.float32)
+    pad_rows_l = [max(d[0], window) for d in dims]
+    row_off = jnp.asarray(
+        [sum(pad_rows_l[:i]) for i in range(len(dims))], jnp.float32)
+    pad_rows = jnp.asarray(pad_rows_l, jnp.float32)
+    return heights, widths, row_off, pad_rows
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pooled", "sampling_ratio", "k_min", "k_max", "window",
+                     "chunk", "canonical_scale", "canonical_level"),
+)
+def multilevel_roi_align_windowed(pyramid, scales, rois, pooled,
+                                  sampling_ratio, k_min, k_max,
+                                  canonical_scale=224, canonical_level=4,
+                                  window=40, chunk=256):
+    """pyramid: list of (H_l, W_l, C) for ONE image (k_min..k_max);
+    rois: (R, 4) image coords. Returns (R, pooled, pooled, C)."""
+    assert sampling_ratio > 0
+    L = len(pyramid)
+    assert L == k_max - k_min + 1
+    C = pyramid[0].shape[-1]
+    dtype = pyramid[0].dtype
+
+    canvas, _, _ = build_canvas(pyramid, window)
+    Hc, Wc = canvas.shape[:2]
+    heights, widths, row_off, pad_rows = _canvas_meta(pyramid, window)
+    R = rois.shape[0]
+
+    start_y, start_x, vy, vx = window_params(
+        rois, scales, heights, widths, row_off, pad_rows, Wc, pooled,
+        sampling_ratio, k_min, k_max, canonical_scale, canonical_level,
+        window, window, dtype)
 
     n_chunks = max(1, -(-R // chunk))
     pad = n_chunks * chunk - R
@@ -164,3 +194,72 @@ def multilevel_roi_align_windowed(pyramid, scales, rois, pooled,
     out = jax.lax.map(do_chunk, args)
     out = out.reshape((n_chunks * chunk, pooled, pooled, C))
     return out[:R]
+
+
+def build_canvas_batched(pyramid, window_y, window_x):
+    """pyramid: list of (B, H_l, W_l, C) -> canvas (B, Hc, Wc, C).
+    Wc is padded to a multiple of 8 for TPU sublane tiling."""
+    C = pyramid[0].shape[-1]
+    wmax = max(f.shape[2] for f in pyramid) + window_x
+    wmax = -(-wmax // 8) * 8
+    blocks = []
+    for f in pyramid:
+        H, W = f.shape[1], f.shape[2]
+        Hp = max(H, window_y)
+        blocks.append(jnp.pad(
+            f, ((0, 0), (0, Hp - H), (0, wmax - W), (0, 0))))
+    return jnp.concatenate(blocks, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pooled", "sampling_ratio", "k_min", "k_max", "window",
+                     "rois_per_step", "canonical_scale", "canonical_level",
+                     "interpret"),
+)
+def multilevel_roi_align_pallas(pyramid, scales, rois, pooled,
+                                sampling_ratio, k_min, k_max,
+                                canonical_scale=224, canonical_level=4,
+                                window=48, rois_per_step=8, interpret=False):
+    """Batched Pallas path. pyramid: list of (B, H_l, W_l, C); rois:
+    (B, R, 4). Returns (B, R, pooled, pooled, C). Same numerics as
+    multilevel_roi_align_windowed; the per-RoI window reads are explicit
+    async DMAs (ops/pallas/roi_align_kernel.py)."""
+    from detectron_tpu.ops.pallas import roi_align_kernel as rk
+
+    assert sampling_ratio > 0
+    B, R = rois.shape[:2]
+    C = pyramid[0].shape[-1]
+    window_y = window
+    window_x = window + 8  # slack for the 8-aligned x start
+
+    canvas = build_canvas_batched(pyramid, window_y, window_x)
+    Wc = canvas.shape[2]
+    heights, widths, row_off, pad_rows = _canvas_meta(
+        [f[0] for f in pyramid], window_y)
+
+    def params_one(r):
+        return window_params(
+            r, scales, heights, widths, row_off, pad_rows, Wc, pooled,
+            sampling_ratio, k_min, k_max, canonical_scale, canonical_level,
+            window_y, window_x, canvas.dtype, align_x=8)
+
+    start_y, start_x, vy, vx = jax.vmap(params_one)(rois)
+    img_idx = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, R))
+    starts = jnp.stack(
+        [img_idx, start_y, start_x], axis=-1).reshape(B * R, 3)
+    vy = vy.reshape(B * R, pooled, window_y)
+    vx = vx.reshape(B * R, pooled, window_x)
+
+    N = B * R
+    pad = (-N) % rois_per_step
+    if pad:
+        starts = jnp.pad(starts, ((0, pad), (0, 0)))
+        vy = jnp.pad(vy, ((0, pad), (0, 0), (0, 0)))
+        vx = jnp.pad(vx, ((0, pad), (0, 0), (0, 0)))
+
+    out = rk.roi_window_pool(canvas, starts, vy, vx, window_y, window_x,
+                             pooled, rois_per_step=rois_per_step,
+                             interpret=interpret)
+    return out[:N].reshape(B, R, pooled, pooled, C)

@@ -108,3 +108,43 @@ def test_windowed_matches_dense_multilevel():
         k_min=2, k_max=5, window=40, chunk=4)
     np.testing.assert_allclose(np.asarray(dense), np.asarray(windowed),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_interpret_matches_windowed():
+    from detectron_tpu.ops import windowed_roi as win
+    rng = np.random.RandomState(5)
+    B = 2
+    pyramid_b = [
+        jnp.asarray(rng.randn(B, 64, 80, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(B, 32, 40, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(B, 16, 20, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(B, 8, 10, 8).astype(np.float32)),
+    ]
+    scales = (0.25, 0.125, 0.0625, 0.03125)
+    rois = np.stack([
+        np.array([
+            [10, 10, 50, 50],
+            [0, 0, 120, 125],
+            [5, 5, 250, 260],
+            [0, 0, 310, 250],
+            [3, 7, 33, 100],
+        ], dtype=np.float32),
+        np.array([
+            [20, 15, 70, 60],
+            [1, 2, 100, 110],
+            [8, 8, 200, 210],
+            [0, 0, 280, 220],
+            [5, 9, 40, 90],
+        ], dtype=np.float32),
+    ])
+    out_p = win.multilevel_roi_align_pallas(
+        pyramid_b, scales, jnp.asarray(rois), pooled=7, sampling_ratio=2,
+        k_min=2, k_max=5, window=48, rois_per_step=2, interpret=True)
+    ref = []
+    for b in range(B):
+        ref.append(win.multilevel_roi_align_windowed(
+            [f[b] for f in pyramid_b], scales, jnp.asarray(rois[b]),
+            pooled=7, sampling_ratio=2, k_min=2, k_max=5, window=48,
+            chunk=4))
+    ref = np.stack([np.asarray(r) for r in ref])
+    np.testing.assert_allclose(np.asarray(out_p), ref, rtol=1e-4, atol=1e-4)
