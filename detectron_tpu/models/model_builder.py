@@ -81,7 +81,7 @@ def init_model(rng):
         elif "Xconv1fc" in head_name:
             params["box_head"] = fast_rcnn_heads.init_roi_Xconv1fc_head(
                 keys[3], cfg.FPN.DIM, box_roi_res,
-                use_gn=head_name.endswith("_gn"))
+                use_gn="_gn" in head_name)
             box_out_dim = cfg.FAST_RCNN.MLP_HEAD_DIM
         else:
             raise ValueError("Unsupported ROI_BOX_HEAD: " + head_name)
