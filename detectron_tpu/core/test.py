@@ -133,6 +133,33 @@ def detect_graph(params, images, im_info):
     return out
 
 
+def detect_raw(params, images, im_info):
+    """Pre-NMS detection outputs for the whole batch: softmax scores
+    (B, R, C) and decoded per-class boxes (B, R, 4C'), plus the proposal
+    validity mask. This is the reference's im_detect_bbox return surface —
+    used by TTA (core/test_aug.py) and Soft-NMS/box-voting host paths, which
+    need raw distributions rather than hard NMS survivors."""
+    features, scales = mb.forward_features(params, images)
+    rpn_outs = mb.forward_rpn(params, features)
+    rois, _, roi_valid = mb.generate_proposals(
+        rpn_outs, features, im_info, training=False)
+    cls_logits, bbox_pred, _ = mb.forward_box_outputs(
+        params, features, scales, rois)
+    B, R, C = cls_logits.shape
+    probs = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
+    probs = jnp.where(roi_valid[..., None], probs, 0.0)
+    if cfg.TEST.BBOX_REG:
+        pred = box_ops.bbox_transform(
+            rois, bbox_pred.astype(jnp.float32),
+            tuple(cfg.MODEL.BBOX_REG_WEIGHTS), clip=cfg.BBOX_XFORM_CLIP)
+        pred = box_ops.clip_tiled_boxes(
+            pred, im_info[:, None, 0:1], im_info[:, None, 1:2])
+    else:
+        n_reg = bbox_pred.shape[-1] // 4
+        pred = jnp.tile(rois, (1, 1, n_reg))
+    return {"scores": probs, "boxes": pred, "valid": roi_valid, "rois": rois}
+
+
 def mask_graph(params, features, scales, det_boxes, det_classes):
     """Mask head on the final detections (reference: im_detect_mask).
     det_boxes: (B, D, 4) scaled coords. Returns (B, D, M, M) sigmoid probs

@@ -160,7 +160,7 @@ def box_head_weight_mapping(is_fpn):
                     ("box_head", "convs", i, "w"), _conv)
                 m["head_conv{}_b".format(i + 1)] = (
                     ("box_head", "convs", i, "b"), _id)
-                if head.endswith("_gn"):
+                if "_gn" in head:
                     m["head_conv{}_gn_s".format(i + 1)] = (
                         ("box_head", "gns", i, "s"), _id)
                     m["head_conv{}_gn_b".format(i + 1)] = (
@@ -180,7 +180,7 @@ def mask_head_weight_mapping():
                 ("mask_head", "convs", i, "w"), _conv)
             m["_[mask]_fcn{}_b".format(i + 1)] = (
                 ("mask_head", "convs", i, "b"), _id)
-            if head.endswith("_gn"):
+            if "_gn" in head:
                 m["_[mask]_fcn{}_gn_s".format(i + 1)] = (
                     ("mask_head", "gns", i, "s"), _id)
                 m["_[mask]_fcn{}_gn_b".format(i + 1)] = (
