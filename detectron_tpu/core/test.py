@@ -199,6 +199,134 @@ def keypoint_graph(params, features, scales, det_boxes):
     return hm.reshape((B, D) + hm.shape[1:]).astype(jnp.float32)
 
 
+def mask_on_boxes_graph(params, images, im_info, det_boxes):
+    """Recompute features and run the mask head on given (scaled) boxes —
+    the TTA / host-NMS path's equivalent of im_detect_mask."""
+    features, scales = mb.forward_features(params, images)
+    # class-agnostic channel selection happens on host for this path; return
+    # all-class probs by passing class 0..C-1 later. Simplest: return probs
+    # for every class channel.
+    B, D = det_boxes.shape[:2]
+    roi_feat = mb.roi_feature_transform(
+        params, features, scales, det_boxes,
+        cfg.MRCNN.ROI_XFORM_RESOLUTION, cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO,
+        method=cfg.MRCNN.ROI_XFORM_METHOD)
+    flat = roi_feat.reshape((B * D,) + roi_feat.shape[2:])
+    h = mask_rcnn_heads.apply_mask_head(
+        params["mask_head"], flat,
+        shared_res5_params=params.get("box_head", {}).get("res5"))
+    logits = mask_rcnn_heads.apply_mask_outputs(params["mask_outs"], h)
+    M = logits.shape[1]
+    return jax.nn.sigmoid(
+        logits.reshape(B, D, M, M, -1).astype(jnp.float32))
+
+
+def kps_on_boxes_graph(params, images, im_info, det_boxes):
+    """Recompute features and run the keypoint head on given boxes."""
+    features, scales = mb.forward_features(params, images)
+    return keypoint_graph(params, features, scales, det_boxes)
+
+
+def im_detect_all(params, im, fns, timers=None):
+    """Per-image orchestration with the reference's feature flags
+    (lib/core/test.py :: im_detect_all): TTA (TEST.BBOX_AUG/MASK_AUG/
+    KPS_AUG), Soft-NMS, box voting. `fns` is a dict of jitted graphs:
+    detect_raw, mask_on_boxes, kps_on_boxes.
+
+    Returns (cls_boxes, cls_segms, cls_keyps) in the reference's per-class
+    list format (boxes in original image coordinates).
+    """
+    import jax.numpy as jnp_  # noqa: F401
+
+    from detectron_tpu.core import test_aug
+    from detectron_tpu.core import test_engine
+
+    if cfg.TEST.BBOX_AUG.ENABLED:
+        scores, boxes = test_aug.im_detect_bbox_aug(
+            fns["detect_raw"], params, im)
+    else:
+        blob, scale, im_info = test_aug._prep(
+            im, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
+        out = fns["detect_raw"](params, jnp.asarray(blob),
+                                jnp.asarray(im_info))
+        scores = np.asarray(out["scores"][0])
+        boxes = np.asarray(out["boxes"][0]) / scale
+
+    scores_f, boxes_f, cls_boxes = box_results_with_nms_and_limit(
+        scores, boxes)
+
+    cls_segms = None
+    cls_keyps = None
+    num_classes = cfg.MODEL.NUM_CLASSES
+    # Flatten per-class results to run heads once over all detections.
+    det_boxes = np.vstack(
+        [cls_boxes[j][:, :4] for j in range(1, num_classes)
+         if len(cls_boxes[j])] or [np.zeros((0, 4), np.float32)])
+    det_classes = np.concatenate(
+        [np.full(len(cls_boxes[j]), j, np.int32)
+         for j in range(1, num_classes) if len(cls_boxes[j])] or
+        [np.zeros((0,), np.int32)])
+
+    if cfg.MODEL.MASK_ON and det_boxes.shape[0] > 0:
+        D_fix = cfg.TEST.DETECTIONS_PER_IM
+        padded = np.zeros((D_fix, 4), np.float32)
+        n = min(len(det_boxes), D_fix)
+        padded[:n] = det_boxes[:n]
+        if cfg.TEST.MASK_AUG.ENABLED:
+            def mask_fn(p, b, ii, bx):
+                pc = np.asarray(fns["mask_on_boxes"](p, b, ii, bx))
+                return _sel_probs(pc[0], det_classes, n)[None]
+
+            probs_all = test_aug.im_detect_mask_aug(mask_fn, params, im,
+                                                    padded)
+        else:
+            blob, scale, im_info = test_aug._prep(
+                im, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
+            probs_c = fns["mask_on_boxes"](
+                params, jnp.asarray(blob), jnp.asarray(im_info),
+                jnp.asarray((padded * scale)[None]))
+            probs_all = _sel_probs(np.asarray(probs_c)[0], det_classes, n)
+        rles = test_engine.segm_results(
+            det_boxes[:n], det_classes[:n], probs_all[:n],
+            im.shape[0], im.shape[1])
+        cls_segms = [[] for _ in range(num_classes)]
+        for r, j in zip(rles, det_classes[:n]):
+            cls_segms[j].append(r)
+
+    if cfg.MODEL.KEYPOINTS_ON and det_boxes.shape[0] > 0:
+        D_fix = cfg.TEST.DETECTIONS_PER_IM
+        padded = np.zeros((D_fix, 4), np.float32)
+        n = min(len(det_boxes), D_fix)
+        padded[:n] = det_boxes[:n]
+        if cfg.TEST.KPS_AUG.ENABLED:
+            hm = test_aug.im_detect_kps_aug(fns["kps_on_boxes"], params, im,
+                                            padded)
+        else:
+            blob, scale, im_info = test_aug._prep(
+                im, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
+            hm = np.asarray(fns["kps_on_boxes"](
+                params, jnp.asarray(blob), jnp.asarray(im_info),
+                jnp.asarray((padded * scale)[None]))[0])
+        xy = test_engine.keypoint_results(det_boxes[:n], hm[:n])
+        cls_keyps = [[] for _ in range(num_classes)]
+        for k_i, j in enumerate(det_classes[:n]):
+            cls_keyps[j].append(xy[k_i])
+
+    return cls_boxes, cls_segms, cls_keyps
+
+
+def _sel_probs(probs_all_classes, det_classes, n):
+    """(D, M, M, C') -> (D, M, M) selecting each detection's class channel."""
+    if isinstance(probs_all_classes, jnp.ndarray):
+        probs_all_classes = np.asarray(probs_all_classes)
+    if probs_all_classes.ndim == 4 and probs_all_classes.shape[-1] == 1:
+        return probs_all_classes[..., 0]
+    out = np.zeros(probs_all_classes.shape[:3], np.float32)
+    for i in range(min(n, len(det_classes))):
+        out[i] = probs_all_classes[i, :, :, det_classes[i]]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Host-side result assembly (per image)
 # ---------------------------------------------------------------------------

@@ -29,6 +29,10 @@ import numpy as np
 
 def encode_counts(mask):
     """mask: (H, W) binary -> run-length counts (column-major, leading 0s)."""
+    from detectron_tpu import native
+
+    if native.available() and mask.size:
+        return native.rle_encode(np.ascontiguousarray(mask, np.uint8))
     flat = np.asfortranarray(mask).reshape(-1, order="F").astype(bool)
     n = flat.size
     if n == 0:
@@ -43,6 +47,10 @@ def encode_counts(mask):
 
 def decode_counts(counts, h, w):
     """Run-length counts -> (H, W) uint8 mask."""
+    from detectron_tpu import native
+
+    if native.available() and h * w > 0:
+        return native.rle_decode(np.asarray(counts, np.uint32), h, w)
     counts = np.asarray(counts, dtype=np.int64)
     n = int(counts.sum())
     assert n == h * w, "RLE does not match shape"
@@ -120,7 +128,13 @@ def decode(rle):
 
 def poly_to_counts(xy, h, w):
     """One polygon [x0, y0, x1, y1, ...] -> RLE counts over an (h, w) grid,
-    using the COCO 5x-upsampled boundary-trace + parity-fill algorithm."""
+    using the COCO 5x-upsampled boundary-trace + parity-fill algorithm.
+    Dispatches to the C++ implementation when built."""
+    from detectron_tpu import native
+
+    if native.available():
+        return native.poly_to_counts(
+            np.ascontiguousarray(xy, np.float64), h, w)
     scale = 5.0
     xy = np.asarray(xy, dtype=np.float64)
     k = len(xy) // 2
@@ -247,9 +261,32 @@ def to_bbox(rle):
 
 def iou(dt_rles, gt_rles, iscrowd):
     """Pairwise mask IoU matrix (D, G). For crowd gt, the denominator is the
-    detection area (pycocotools semantics)."""
+    detection area (pycocotools semantics). Uses the C++ run-length
+    intersection (no decode) when available."""
+    from detectron_tpu import native
+
     D, G = len(dt_rles), len(gt_rles)
     out = np.zeros((D, G), np.float64)
+
+    def _counts(r):
+        c = r["counts"]
+        return string_to_counts(c) if isinstance(c, (str, bytes)) else c
+
+    if native.available():
+        d_counts = [np.asarray(_counts(r), np.uint32) for r in dt_rles]
+        g_counts = [np.asarray(_counts(r), np.uint32) for r in gt_rles]
+        d_areas = [int(c[1::2].sum()) for c in d_counts]
+        g_areas = [int(c[1::2].sum()) for c in g_counts]
+        for i in range(D):
+            for j in range(G):
+                inter = native.rle_intersection(d_counts[i], g_counts[j])
+                if iscrowd[j]:
+                    denom = d_areas[i]
+                else:
+                    denom = d_areas[i] + g_areas[j] - inter
+                out[i, j] = inter / denom if denom > 0 else 0.0
+        return out
+
     dms = [decode(r).astype(bool) for r in dt_rles]
     gms = [decode(r).astype(bool) for r in gt_rles]
     d_areas = [int(m.sum()) for m in dms]

@@ -220,9 +220,14 @@ def bbox_overlaps(boxes, query_boxes):
 
 def nms(dets, thresh):
     """Greedy NMS on the host. dets: (N, 5) [x1,y1,x2,y2,score]. Returns the
-    kept indices in descending-score order (cython_nms.nms semantics)."""
+    kept indices in descending-score order (cython_nms.nms semantics).
+    Dispatches to the C++ implementation when built (detectron_tpu/native)."""
     if dets.shape[0] == 0:
         return []
+    from detectron_tpu import native
+
+    if native.available():
+        return native.nms(np.ascontiguousarray(dets, np.float32), thresh)
     x1 = dets[:, 0]
     y1 = dets[:, 1]
     x2 = dets[:, 2]

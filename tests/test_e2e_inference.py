@@ -1,0 +1,143 @@
+"""End-to-end pipeline mechanics: synthetic COCO dataset on disk -> dataset
+load -> jitted detection -> result structures -> COCO evaluation. Random
+weights, so AP is meaningless — this locks the plumbing, shapes, and format
+contracts across the whole inference stack."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from detectron_tpu.core import config
+from detectron_tpu.core.config import cfg
+
+
+@pytest.fixture
+def synthetic_dataset(tmp_path, monkeypatch):
+    import cv2
+
+    img_dir = tmp_path / "coco" / "val2017"
+    ann_dir = tmp_path / "coco" / "annotations"
+    img_dir.mkdir(parents=True)
+    ann_dir.mkdir(parents=True)
+
+    rng = np.random.RandomState(0)
+    images = []
+    annotations = []
+    aid = 1
+    for i in range(3):
+        h, w = (96, 128) if i % 2 == 0 else (128, 96)
+        im = rng.randint(0, 255, (h, w, 3), np.uint8)
+        name = "{:012d}.jpg".format(i + 1)
+        cv2.imwrite(str(img_dir / name), im)
+        images.append({"id": i + 1, "width": w, "height": h,
+                       "file_name": name})
+        x, y, bw, bh = 10.0, 10.0, 40.0, 30.0
+        annotations.append({
+            "id": aid, "image_id": i + 1, "category_id": 1,
+            "bbox": [x, y, bw, bh], "area": bw * bh, "iscrowd": 0,
+            "segmentation": [[x, y, x + bw, y, x + bw, y + bh, x, y + bh]],
+        })
+        aid += 1
+    gt = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [
+            {"id": 1, "name": "widget", "supercategory": "thing"},
+            {"id": 2, "name": "gadget", "supercategory": "thing"},
+            {"id": 3, "name": "sprocket", "supercategory": "thing"},
+        ],
+    }
+    (ann_dir / "instances_val2017.json").write_text(json.dumps(gt))
+    config.merge_cfg_from_list(["DATA_DIR", str(tmp_path)])
+    return tmp_path
+
+
+def _tiny_infer_cfg(mask_on):
+    config.merge_cfg_from_list([
+        "MODEL.CONV_BODY", "FPN.fpn_ResNet50_conv5_body",
+        "MODEL.FASTER_RCNN", "True",
+        "MODEL.MASK_ON", str(mask_on),
+        "MODEL.NUM_CLASSES", "4",
+        "FPN.FPN_ON", "True",
+        "FPN.MULTILEVEL_ROIS", "True",
+        "FPN.MULTILEVEL_RPN", "True",
+        "FAST_RCNN.ROI_BOX_HEAD", "fast_rcnn_heads.roi_2mlp_head",
+        "FAST_RCNN.ROI_XFORM_METHOD", "RoIAlign",
+        "FAST_RCNN.ROI_XFORM_RESOLUTION", "7",
+        "FAST_RCNN.ROI_XFORM_SAMPLING_RATIO", "2",
+        "FAST_RCNN.MLP_HEAD_DIM", "32",
+        "MRCNN.ROI_MASK_HEAD", "mask_rcnn_heads.mask_rcnn_fcn_head_v1up4convs",
+        "MRCNN.RESOLUTION", "14",
+        "MRCNN.ROI_XFORM_RESOLUTION", "7",
+        "MRCNN.ROI_XFORM_SAMPLING_RATIO", "2",
+        "MRCNN.DILATION", "1",
+        "TEST.SCALE", "96",
+        "TEST.MAX_SIZE", "128",
+        "TEST.RPN_PRE_NMS_TOP_N", "64",
+        "TEST.RPN_POST_NMS_TOP_N", "16",
+        "TEST.DETECTIONS_PER_IM", "8",
+        "TEST.SCORE_THRESH", "0.0",
+        "TPU.NMS_TILE_SIZE", "32",
+        "TPU.ROI_IMPL", "windowed",
+        "TPU.ROI_WINDOW", "16",
+        "TPU.ROI_CHUNK", "16",
+        "TEST.DATASETS", "('coco_2017_val',)",
+    ])
+    config.assert_and_infer_cfg(make_immutable=False)
+
+
+def test_full_inference_and_eval(synthetic_dataset, tmp_path):
+    _tiny_infer_cfg(mask_on=True)
+
+    from detectron_tpu.core import test_engine
+    from detectron_tpu.data import task_evaluation
+    from detectron_tpu.data.json_dataset import JsonDataset
+
+    ds = JsonDataset("coco_2017_val")
+    roidb = ds.get_roidb(gt=True)
+    assert len(roidb) == 3
+    assert roidb[0]["boxes"].shape == (1, 4)
+
+    params = test_engine.initialize_model_from_cfg()
+    out_dir = str(tmp_path / "out")
+    all_boxes, all_segms, all_keyps = test_engine.test_net(
+        params, roidb, ds, batch_size=2, output_dir=out_dir)
+
+    assert len(all_boxes) == 4  # classes incl background
+    assert len(all_boxes[1]) == 3  # images
+    assert os.path.exists(os.path.join(out_dir, "detections.pkl"))
+
+    results = task_evaluation.evaluate_all(
+        ds, all_boxes, all_segms, all_keyps, out_dir)
+    assert "box" in results["coco_2017_val"]
+    assert "mask" in results["coco_2017_val"]
+    assert "AP" in results["coco_2017_val"]["box"]
+
+
+def test_im_detect_all_host_path(synthetic_dataset):
+    """Soft-NMS + host NMS path through im_detect_all."""
+    import cv2
+    import jax
+
+    from detectron_tpu.core import test as test_ops
+    from detectron_tpu.core import test_engine
+
+    _tiny_infer_cfg(mask_on=False)
+    config.merge_cfg_from_list(["TEST.SOFT_NMS.ENABLED", "True"])
+
+    params = test_engine.initialize_model_from_cfg()
+    fns = {
+        "detect_raw": jax.jit(test_ops.detect_raw),
+        "mask_on_boxes": jax.jit(test_ops.mask_on_boxes_graph),
+        "kps_on_boxes": jax.jit(test_ops.kps_on_boxes_graph),
+    }
+    img_path = os.path.join(
+        str(synthetic_dataset), "coco", "val2017", "000000000001.jpg")
+    im = cv2.imread(img_path)
+    cls_boxes, cls_segms, cls_keyps = test_ops.im_detect_all(
+        params, im, fns)
+    assert len(cls_boxes) == 4
+    total = sum(len(b) for b in cls_boxes[1:])
+    assert total <= cfg.TEST.DETECTIONS_PER_IM * 3
