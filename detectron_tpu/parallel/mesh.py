@@ -26,6 +26,35 @@ def make_mesh(n_devices=None, axis_name="data"):
     return Mesh(np.array(devs), (axis_name,))
 
 
+def make_mesh_2d(n_data, n_model, axis_names=("data", "model")):
+    """2-D (data, model) mesh: batch sharding on 'data', tensor-parallel
+    sharding of the wide head FCs on 'model' (see tp_param_shardings). The
+    reference has no TP — a 2018 CNN detector — but the head FCs (12544x1024)
+    are the one place it pays, and this exercises a real 2-axis layout."""
+    devs = jax.devices()[: n_data * n_model]
+    return Mesh(np.array(devs).reshape(n_data, n_model), axis_names)
+
+
+def tp_param_shardings(params, mesh, model_axis="model"):
+    """Param-sharding pytree: box-head FC kernels shard their output (fc6)
+    / input (fc7) dims over the model axis (Megatron-style column/row
+    split); everything else replicates. XLA inserts the psum after the
+    row-split matmul automatically."""
+    repl = NamedSharding(mesh, P())
+
+    def assign(path, leaf):
+        keys = [getattr(p, "key", None) for p in path]
+        if "box_head" in keys and "fc6" in keys and keys[-1] == "w":
+            return NamedSharding(mesh, P(None, model_axis))
+        if "box_head" in keys and "fc6" in keys and keys[-1] == "b":
+            return NamedSharding(mesh, P(model_axis))
+        if "box_head" in keys and "fc7" in keys and keys[-1] == "w":
+            return NamedSharding(mesh, P(model_axis, None))
+        return repl
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
 def batch_sharding(mesh, axis_name="data"):
     """Shard a pytree of batch arrays along their leading (batch) dim."""
     return NamedSharding(mesh, P(axis_name))

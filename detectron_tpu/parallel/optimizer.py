@@ -44,11 +44,13 @@ def make_lr_fn():
     def lr_fn(step):
         step_f = step.astype(jnp.float32)
         if policy in ("steps_with_decay", "step"):
-            n_decays = sum(
-                (step >= s).astype(jnp.int32) for s in steps if s > 0
-            ) if policy == "steps_with_decay" else (
-                step // cfg.SOLVER.STEP_SIZE)
-            lr = base_lr * (gamma ** n_decays.astype(jnp.float32))
+            if policy == "steps_with_decay":
+                n_decays = sum(
+                    ((step >= s).astype(jnp.int32) for s in steps if s > 0),
+                    jnp.int32(0))
+            else:
+                n_decays = step // cfg.SOLVER.STEP_SIZE
+            lr = base_lr * (gamma ** jnp.asarray(n_decays, jnp.float32))
         else:
             lr = jnp.float32(base_lr)
         if warm_iters > 0:

@@ -36,16 +36,22 @@ def train_step(params, opt_state, batch, rng):
     return new_params, new_opt_state, stats
 
 
-def make_pjit_train_step(mesh, axis_name="data", donate=True):
+def make_pjit_train_step(mesh, axis_name="data", donate=True,
+                         param_shardings=None):
     """Compile train_step over the mesh: batch sharded on its leading dim,
-    params/opt replicated. XLA turns the replicated-param gradient reduction
-    into an ICI all-reduce — the reference's DataParallel grad sync."""
+    params/opt replicated (or per-leaf `param_shardings` for tensor-parallel
+    layouts — see parallel/mesh.tp_param_shardings). XLA turns the gradient
+    reduction into an ICI all-reduce — the reference's DataParallel grad
+    sync."""
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis_name))
+    p_sh = param_shardings if param_shardings is not None else repl
+    opt_sh = repl if param_shardings is None else {
+        "momentum": param_shardings, "step": repl}
     return jax.jit(
         train_step,
-        in_shardings=(repl, repl, data, repl),
-        out_shardings=(repl, repl, repl),
+        in_shardings=(p_sh, opt_sh, data, repl),
+        out_shardings=(p_sh, opt_sh, repl),
         donate_argnums=(0, 1) if donate else (),
     )
 
