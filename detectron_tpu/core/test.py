@@ -59,6 +59,22 @@ def detect_graph(params, images, im_info):
     rpn_outs = mb.forward_rpn(params, features)
     rois, _, roi_valid = mb.generate_proposals(
         rpn_outs, features, im_info, training=False)
+    return _detect_tail(params, features, scales, rois, roi_valid, im_info)
+
+
+def detect_graph_with_proposals(params, images, im_info, proposals,
+                                prop_valid):
+    """Fast R-CNN mode (cfg.TEST.PRECOMPUTED_PROPOSALS): detection on
+    externally supplied proposals (B, R, 4) in scaled-image coords, skipping
+    the RPN. The reference's DEDUP_BOXES hashing happens on the host before
+    this is called (test_engine)."""
+    features, scales = mb.forward_features(params, images)
+    return _detect_tail(params, features, scales, proposals, prop_valid,
+                        im_info)
+
+
+def _detect_tail(params, features, scales, rois, roi_valid, im_info):
+    """Box head + decode + per-class NMS + top-D limit + mask/kps heads."""
     cls_logits, bbox_pred, _ = mb.forward_box_outputs(
         params, features, scales, rois)
 

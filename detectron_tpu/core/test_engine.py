@@ -154,8 +154,11 @@ def test_net(params, roidb_entries, dataset, batch_size=8, output_dir=None,
     num_classes = cfg.MODEL.NUM_CLASSES
     all_boxes, all_segms, all_keyps = empty_results(num_classes, num_images)
 
+    use_props = cfg.TEST.PRECOMPUTED_PROPOSALS
     if detect_fn is None:
-        detect_fn = jax.jit(test_ops.detect_graph)
+        detect_fn = jax.jit(
+            test_ops.detect_graph_with_proposals if use_props
+            else test_ops.detect_graph)
 
     timers = defaultdict(Timer)
 
@@ -172,22 +175,48 @@ def test_net(params, roidb_entries, dataset, batch_size=8, output_dir=None,
             timers["im_load"].tic()
             blobs = []
             infos = []
+            prop_boxes = []
+            prop_valid = []
+            R = cfg.TEST.PROPOSAL_LIMIT if use_props else 0
             canvas = blob_utils.static_canvas(
                 cfg.TEST.SCALE, cfg.TEST.MAX_SIZE, key == "landscape")
             for idx in chunk:
-                im = cv2.imread(roidb_entries[idx]["image"])
+                entry = roidb_entries[idx]
+                im = cv2.imread(entry["image"])
                 prepped, scale = blob_utils.prep_im_for_blob(
                     im, cfg.PIXEL_MEANS, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
                 blobs.append(blob_utils.im_to_canvas(prepped, canvas))
                 infos.append([prepped.shape[0], prepped.shape[1], scale])
+                if use_props:
+                    boxes = entry["boxes"][entry["gt_classes"] == 0] * scale
+                    if cfg.DEDUP_BOXES > 0:
+                        keep = box_utils.unique_boxes(boxes, cfg.DEDUP_BOXES)
+                        boxes = boxes[keep]
+                    boxes = boxes[:R]
+                    pad = np.zeros((R, 4), np.float32)
+                    pad[: len(boxes)] = boxes
+                    prop_boxes.append(pad)
+                    v = np.zeros(R, bool)
+                    v[: len(boxes)] = True
+                    prop_valid.append(v)
             while len(blobs) < pad_to:
                 blobs.append(np.zeros_like(blobs[0]))
                 infos.append([canvas[0], canvas[1], 1.0])
+                if use_props:
+                    prop_boxes.append(np.zeros((R, 4), np.float32))
+                    prop_valid.append(np.zeros(R, bool))
             timers["im_load"].toc()
 
             timers["im_detect_bbox"].tic()
-            out = detect_fn(params, jnp.asarray(np.stack(blobs)),
-                            jnp.asarray(np.array(infos, np.float32)))
+            if use_props:
+                out = detect_fn(
+                    params, jnp.asarray(np.stack(blobs)),
+                    jnp.asarray(np.array(infos, np.float32)),
+                    jnp.asarray(np.stack(prop_boxes)),
+                    jnp.asarray(np.stack(prop_valid)))
+            else:
+                out = detect_fn(params, jnp.asarray(np.stack(blobs)),
+                                jnp.asarray(np.array(infos, np.float32)))
             out = jax.tree.map(np.asarray, out)
             timers["im_detect_bbox"].toc()
 
@@ -228,7 +257,11 @@ def run_inference(args, dataset_name=None, output_dir=None, batch_size=8,
 
     dataset_name = dataset_name or cfg.TEST.DATASETS[0]
     dataset = JsonDataset(dataset_name)
-    roidb = dataset.get_roidb(gt=True)
+    proposal_file = None
+    if cfg.TEST.PRECOMPUTED_PROPOSALS and cfg.TEST.PROPOSAL_FILES:
+        proposal_file = cfg.TEST.PROPOSAL_FILES[0]
+    roidb = dataset.get_roidb(gt=True, proposal_file=proposal_file,
+                              proposal_limit=cfg.TEST.PROPOSAL_LIMIT)
     params = initialize_model_from_cfg(args)
     all_boxes, all_segms, all_keyps = test_net(
         params, roidb, dataset, batch_size=batch_size, output_dir=output_dir)

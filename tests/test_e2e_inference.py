@@ -141,3 +141,35 @@ def test_im_detect_all_host_path(synthetic_dataset):
     assert len(cls_boxes) == 4
     total = sum(len(b) for b in cls_boxes[1:])
     assert total <= cfg.TEST.DETECTIONS_PER_IM * 3
+
+
+def test_precomputed_proposals_mode(synthetic_dataset, tmp_path):
+    """Fast R-CNN mode: external proposals, no RPN (the reference's
+    TEST.PRECOMPUTED_PROPOSALS path)."""
+    _tiny_infer_cfg(mask_on=False)
+    config.merge_cfg_from_list([
+        "TEST.PRECOMPUTED_PROPOSALS", "True",
+        "TEST.PROPOSAL_LIMIT", "8",
+        "MODEL.FASTER_RCNN", "False",
+    ])
+    cfg.RPN.RPN_ON = False
+
+    from detectron_tpu.core import test_engine
+    from detectron_tpu.data.json_dataset import JsonDataset
+
+    ds = JsonDataset("coco_2017_val")
+    roidb = ds.get_roidb(gt=True)
+    # Entries carry gt boxes only; add a few fake proposals per image the
+    # way a proposal file would (gt_classes == 0 marks non-gt boxes).
+    import numpy as np
+    from detectron_tpu.data import json_dataset as jd
+
+    box_list = [np.array([[5, 5, 60, 60], [20, 20, 80, 70]], np.float32)
+                for _ in roidb]
+    jd._merge_proposal_boxes_into_roidb(roidb, box_list)
+
+    params = test_engine.initialize_model_from_cfg()
+    all_boxes, _, _ = test_engine.test_net(
+        params, roidb, ds, batch_size=2, output_dir=None)
+    assert len(all_boxes) == 4
+    assert len(all_boxes[1]) == 3
