@@ -1,0 +1,83 @@
+"""Data loader: static shapes, aspect grouping, gt padding, mask crops."""
+
+import json
+
+import numpy as np
+import pytest
+
+from detectron_tpu.core import config
+from detectron_tpu.core.config import cfg
+
+
+@pytest.fixture
+def tiny_roidb(tmp_path):
+    import cv2
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    entries = []
+    for i, (h, w) in enumerate([(100, 150), (150, 100), (90, 140),
+                                (140, 90)]):
+        p = str(img_dir / "im{}.jpg".format(i))
+        cv2.imwrite(p, rng.randint(0, 255, (h, w, 3), np.uint8))
+        entries.append({
+            "image": p, "width": w, "height": h, "flipped": i % 2 == 1,
+            "boxes": np.array([[5, 5, 50, 40], [20, 10, 60, 40]],
+                              np.float32),
+            "gt_classes": np.array([1, 2], np.int32),
+            "is_crowd": np.array([False, True]),
+            "segms": [[[5, 5, 50, 5, 50, 40, 5, 40]],
+                      [[20, 10, 60, 10, 60, 40, 20, 40]]],
+        })
+    return entries
+
+
+def test_make_minibatch_shapes(tiny_roidb):
+    from detectron_tpu.data import loader
+
+    config.merge_cfg_from_list([
+        "TRAIN.SCALES", "(96,)", "TRAIN.MAX_SIZE", "160",
+        "MODEL.MASK_ON", "True",
+        "TPU.MAX_GT_BOXES", "5", "TPU.GT_MASK_SIZE", "24",
+        "FPN.FPN_ON", "True",
+    ])
+    rng = np.random.RandomState(0)
+    batch = loader.make_minibatch(tiny_roidb[:1] + tiny_roidb[2:3], rng)
+    B = 2
+    assert batch["images"].shape[0] == B
+    assert batch["images"].shape[1] % 32 == 0
+    assert batch["images"].shape[2] % 32 == 0
+    assert batch["gt_boxes"].shape == (B, 5, 4)
+    assert batch["gt_valid"].sum() == 2  # one non-crowd gt per image
+    assert batch["crowd_valid"].sum() == 2
+    assert batch["gt_masks"].shape == (B, 5, 24, 24)
+    # rasterized mask of the full-box polygon is ~solid
+    assert batch["gt_masks"][0, 0].mean() > 0.8
+    # boxes are scaled into the resized frame
+    scale = batch["im_info"][0, 2]
+    np.testing.assert_allclose(batch["gt_boxes"][0, 0],
+                               np.array([5, 5, 50, 40]) * scale, rtol=1e-5)
+
+
+def test_train_loader_iterates(tiny_roidb):
+    from detectron_tpu.data import loader
+
+    config.merge_cfg_from_list([
+        "TRAIN.SCALES", "(96,)", "TRAIN.MAX_SIZE", "160",
+        "MODEL.MASK_ON", "False",
+        "TRAIN.ASPECT_GROUPING", "True",
+        "TPU.MAX_GT_BOXES", "5",
+    ])
+    tl = loader.TrainLoader(tiny_roidb, batch_size=2, seed=0, prefetch=2,
+                            num_threads=1)
+    try:
+        for _ in range(3):
+            batch = next(tl)
+            assert batch["images"].shape[0] == 2
+            # aspect grouping: all-landscape or all-portrait batches
+            h, w = batch["im_info"][0, 0], batch["im_info"][0, 1]
+            h2, w2 = batch["im_info"][1, 0], batch["im_info"][1, 1]
+            assert (w >= h) == (w2 >= h2)
+    finally:
+        tl.close()
