@@ -77,13 +77,17 @@ def apply_keypoint_outputs(p, x):
         f = cfg.KRCNN.UP_SCALE
         nk = x.shape[-1]
         kern = finit.bilinear_upsample_kernel(f, nk, x.dtype)
-        pad = int((2 * f - f % 2) - 1 - int(jnp.ceil((f - 1) / 2.0)))
-        y = jax.lax.conv_transpose(
+        # Depthwise transposed conv expressed as an input-dilated conv (the
+        # bilinear kernel is symmetric, so no spatial flip is needed).
+        # torch padding p = ceil((f-1)/2) maps to k-1-p here.
+        k = 2 * f - f % 2
+        pad = k - 1 - (f - 1 + 1) // 2
+        x = jax.lax.conv_general_dilated(
             x, kern,
-            strides=(f, f),
+            window_strides=(1, 1),
             padding=[(pad, pad), (pad, pad)],
+            lhs_dilation=(f, f),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=nk,
         )
-        x = y
     return x
