@@ -89,3 +89,52 @@ def test_fpn_body_feature_strides():
     feats, scales = mb.forward_features(params, images)
     assert [f.shape[1] for f in feats] == [16, 8, 4, 2, 1]
     assert scales == [0.25, 0.125, 0.0625, 0.03125, 0.015625]
+
+
+def test_c4_mask_rcnn_v0upshare_train_step():
+    """C4 Mask R-CNN with the res5-sharing mask head (v0upshare)."""
+    import jax
+    from detectron_tpu.parallel import optimizer as opt
+    from detectron_tpu.parallel import train_step as ts
+
+    _tiny_c4_cfg()
+    config.merge_cfg_from_list([
+        "MODEL.MASK_ON", "True",
+        "MRCNN.ROI_MASK_HEAD", "mask_rcnn_heads.mask_rcnn_fcn_head_v0upshare",
+        "MRCNN.RESOLUTION", "14",
+        "MRCNN.ROI_XFORM_METHOD", "RoIAlign",
+        "MRCNN.ROI_XFORM_RESOLUTION", "14",
+        "MRCNN.ROI_XFORM_SAMPLING_RATIO", "0",
+        "MRCNN.DILATION", "1",
+        "TRAIN.IMS_PER_BATCH", "1",
+        "TRAIN.BATCH_SIZE_PER_IM", "16",
+        "TRAIN.RPN_PRE_NMS_TOP_N", "64",
+        "TRAIN.RPN_POST_NMS_TOP_N", "8",
+        "TRAIN.RPN_BATCH_SIZE_PER_IM", "32",
+        "TPU.MAX_GT_BOXES", "4",
+        "TPU.GT_MASK_SIZE", "28",
+        "TPU.ROI_CHUNK", "8",
+    ])
+    config.assert_and_infer_cfg(make_immutable=False)
+    params = mb.init_model(jax.random.PRNGKey(0))
+    assert "mask_head" in params and "res5" not in params["mask_head"]
+
+    masks = np.zeros((1, 4, 28, 28), np.float32)
+    masks[:, :, 5:20, 5:20] = 1.0
+    batch = {
+        "images": jnp.asarray(
+            np.random.RandomState(0).randn(1, 64, 64, 3), jnp.float32),
+        "im_info": jnp.asarray([[64, 64, 1.0]], jnp.float32),
+        "gt_boxes": jnp.asarray([[[8, 8, 40, 40], [0, 0, 0, 0],
+                                  [0, 0, 0, 0], [0, 0, 0, 0]]], jnp.float32),
+        "gt_classes": jnp.asarray([[1, 0, 0, 0]], jnp.int32),
+        "gt_valid": jnp.asarray([[True, False, False, False]]),
+        "crowd_boxes": jnp.zeros((1, 1, 4), jnp.float32),
+        "crowd_valid": jnp.zeros((1, 1), bool),
+        "gt_masks": jnp.asarray(masks),
+    }
+    opt_state = opt.init_opt_state(params)
+    _, _, stats = jax.jit(ts.train_step)(params, opt_state, batch,
+                                         jax.random.PRNGKey(1))
+    assert "loss_mask" in stats
+    assert np.isfinite(float(stats["loss_mask"]))
