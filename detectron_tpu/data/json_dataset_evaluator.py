@@ -155,6 +155,66 @@ def evaluate_keypoints(dataset, all_boxes, all_keyps, output_dir):
     return coco_eval
 
 
+def evaluate_box_proposals(roidb, box_list, thresholds=None, area="all",
+                           limit=None):
+    """Average-recall statistics for proposals (the reference's RPN_ONLY
+    evaluation, lib/datasets/json_dataset_evaluator.py ::
+    evaluate_box_proposals). roidb entries carry gt; box_list[i] is (N, 4)
+    proposals for image i. Returns dict(ar, recalls, thresholds,
+    gt_overlaps, num_pos)."""
+    areas = {
+        "all": 0, "small": 1, "medium": 2, "large": 3,
+        "96-128": 4, "128-256": 5, "256-512": 6, "512-inf": 7,
+    }
+    area_ranges = [
+        [0**2, 1e5**2], [0**2, 32**2], [32**2, 96**2], [96**2, 1e5**2],
+        [96**2, 128**2], [128**2, 256**2], [256**2, 512**2],
+        [512**2, 1e5**2],
+    ]
+    assert area in areas
+    area_range = area_ranges[areas[area]]
+    gt_overlaps = np.zeros(0)
+    num_pos = 0
+    for i, entry in enumerate(roidb):
+        gt_inds = np.where(
+            (entry["gt_classes"] > 0) & (entry["is_crowd"] == 0))[0]
+        gt_boxes = entry["boxes"][gt_inds, :]
+        gt_areas = entry["seg_areas"][gt_inds]
+        valid_gt = np.where(
+            (gt_areas >= area_range[0]) & (gt_areas <= area_range[1]))[0]
+        gt_boxes = gt_boxes[valid_gt, :]
+        num_pos += len(valid_gt)
+        boxes = np.asarray(box_list[i])
+        if limit is not None and boxes.shape[0] > limit:
+            boxes = boxes[:limit, :]
+        if boxes.shape[0] == 0 or gt_boxes.shape[0] == 0:
+            continue
+        overlaps = box_utils.bbox_overlaps(boxes, gt_boxes)
+        _gt_overlaps = np.zeros(gt_boxes.shape[0])
+        for j in range(min(boxes.shape[0], gt_boxes.shape[0])):
+            argmax_overlaps = overlaps.argmax(axis=0)
+            max_overlaps = overlaps.max(axis=0)
+            gt_ind = max_overlaps.argmax()
+            gt_ovr = max_overlaps.max()
+            assert gt_ovr >= 0
+            box_ind = argmax_overlaps[gt_ind]
+            _gt_overlaps[j] = overlaps[box_ind, gt_ind]
+            assert _gt_overlaps[j] == gt_ovr
+            overlaps[box_ind, :] = -1
+            overlaps[:, gt_ind] = -1
+        gt_overlaps = np.hstack((gt_overlaps, _gt_overlaps))
+    gt_overlaps = np.sort(gt_overlaps)
+    if thresholds is None:
+        step = 0.05
+        thresholds = np.arange(0.5, 0.95 + 1e-5, step)
+    recalls = np.zeros_like(thresholds)
+    for i, t in enumerate(thresholds):
+        recalls[i] = (gt_overlaps >= t).sum() / float(max(num_pos, 1))
+    ar = recalls.mean()
+    return {"ar": ar, "recalls": recalls, "thresholds": thresholds,
+            "gt_overlaps": gt_overlaps, "num_pos": num_pos}
+
+
 def _log_detection_eval_metrics(dataset, coco_eval):
     IoU_lo_thresh = 0.5
     IoU_hi_thresh = 0.95

@@ -153,3 +153,23 @@ def test_crowd_gt_not_counted(tmp_path):
     E.accumulate()
     stats = E.summarize()
     assert stats[0] == pytest.approx(1.0)  # crowd gt is ignored
+
+
+def test_evaluate_box_proposals():
+    from detectron_tpu.data.json_dataset_evaluator import \
+        evaluate_box_proposals
+
+    roidb = [{
+        "gt_classes": np.array([1, 2], np.int32),
+        "is_crowd": np.array([False, False]),
+        "boxes": np.array([[10, 10, 50, 50], [60, 60, 90, 90]], np.float32),
+        "seg_areas": np.array([1600.0, 900.0], np.float32),
+    }]
+    # proposals covering both gts exactly -> AR 1
+    stats = evaluate_box_proposals(
+        roidb, [np.array([[10, 10, 50, 50], [60, 60, 90, 90]], np.float32)])
+    assert stats["ar"] == pytest.approx(1.0)
+    # proposals covering none -> AR 0
+    stats0 = evaluate_box_proposals(
+        roidb, [np.array([[100, 100, 120, 120]], np.float32)])
+    assert stats0["ar"] == pytest.approx(0.0)
