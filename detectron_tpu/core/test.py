@@ -38,9 +38,10 @@ def _per_class_nms_one_image(boxes_c, scores_c, max_out):
     """vmap-over-classes greedy NMS. boxes_c: (C-1, R, 4); scores_c:
     (C-1, R). Returns (C-1, max_out) indices + validity."""
     def one(b, s):
+        # callers feed lax.top_k outputs: already score-descending
         return nms_ops.nms_padded(
             b, s, cfg.TEST.NMS, max_output_size=max_out,
-            tile_size=cfg.TPU.NMS_TILE_SIZE)
+            tile_size=cfg.TPU.NMS_TILE_SIZE, presorted=True)
 
     return jax.vmap(one)(boxes_c, scores_c)
 

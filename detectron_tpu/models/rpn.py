@@ -105,9 +105,12 @@ def proposals_one_level(cls_logits, bbox_pred, anchors, im_hw, min_size_scaled,
     keep = box_ops.small_box_mask(boxes, min_size_scaled)
     masked_scores = jnp.where(keep, top_scores, -jnp.inf)
 
+    # `boxes` come from lax.top_k, so scores are descending (the min-size
+    # mask only inserts -inf holes, which NMS treats as invalid): skip the
+    # internal sort.
     idx, valid = nms_ops.nms_padded(
         boxes, masked_scores, nms_thresh, max_output_size=post_top_n,
-        tile_size=cfg.TPU.NMS_TILE_SIZE,
+        tile_size=cfg.TPU.NMS_TILE_SIZE, presorted=True,
     )
     out_boxes = boxes[idx] * valid[:, None]
     out_scores = jnp.where(valid, masked_scores[idx], -jnp.inf)
