@@ -132,7 +132,7 @@ def nms_padded(boxes, scores, iou_threshold, max_output_size, tile_size=256,
     # cheaper than a full argsort (k << N).
     pos = jnp.arange(N)
     key = jnp.where(keep, N - pos, 0)
-    kv, sel = jax.lax.top_k(key, max_output_size)
+    kv, sel = jax.lax.top_k(key, min(max_output_size, N))
     out_valid = kv > 0
     out_idx = jnp.where(out_valid, order[sel], 0)
     return out_idx.astype(jnp.int32), out_valid
