@@ -333,6 +333,8 @@ __C.TPU.ROI_CHUNK = 128
 # interpolation matmuls — fastest on TPU) ("pallas": per-RoI DMA kernel), "windowed" (XLA dynamic_slice), or "gather" (point gathers;
 # exact for arbitrarily extreme aspect ratios, slower).
 __C.TPU.ROI_IMPL = "pallas"
+# Batched NMS implementation: 'pallas' (TPU kernel) or 'xla' (tiled lax).
+__C.TPU.NMS_IMPL = "pallas"
 # Window size (feature cells) for the windowed implementation. 40 covers
 # every RoI the FPN level assignment can produce at <=1333px inputs except
 # extreme aspect ratios, which clamp.

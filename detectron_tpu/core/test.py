@@ -114,9 +114,12 @@ def _detect_tail(params, features, scales, rois, roi_valid, im_info):
     K = min(scores_c.shape[-1], max(4 * D, 128))
     top_s, top_i = jax.lax.top_k(scores_c, K)  # (B, C-1, K)
     top_b = jnp.take_along_axis(boxes_c, top_i[..., None], axis=2)
-    idx_k, valid = jax.vmap(
-        functools.partial(_per_class_nms_one_image, max_out=D)
-    )(top_b, top_s)  # (B, C-1, D)
+    idx_flat, valid_flat = nms_ops.nms_batched_sorted(
+        top_b.reshape(B * (C - 1), K, 4),
+        top_s.reshape(B * (C - 1), K),
+        cfg.TEST.NMS, D, tile_size=cfg.TPU.NMS_TILE_SIZE)
+    idx_k = idx_flat.reshape(B, C - 1, -1)
+    valid = valid_flat.reshape(B, C - 1, -1)
     idx = jnp.take_along_axis(top_i, idx_k, axis=2)
 
     kept_scores = jnp.where(

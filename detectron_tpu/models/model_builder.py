@@ -175,14 +175,23 @@ def generate_proposals(rpn_outs, features, im_info, training):
         anchors = rpn_mod.level_anchors(stride, sizes, ratios, H, W)
 
         def one_image(cl, bp, info):
-            return rpn_mod.proposals_one_level(
+            return rpn_mod.proposals_prep_one_level(
                 cl, bp, anchors, info[:2], min_size * info[2],
-                pre_top_n=pre_n, post_top_n=post_n, nms_thresh=nms_thresh)
+                pre_top_n=pre_n)
 
-        b, s, v = jax.vmap(one_image)(cls_logits, bbox_pred, im_info)
+        boxes_b, scores_b = jax.vmap(one_image)(cls_logits, bbox_pred,
+                                                im_info)
+        from detectron_tpu.ops import nms as nms_ops
+        idx, valid = nms_ops.nms_batched_sorted(
+            boxes_b, scores_b, nms_thresh, post_n,
+            tile_size=cfg.TPU.NMS_TILE_SIZE)
+        b = jnp.take_along_axis(boxes_b, idx[..., None], axis=1) * \
+            valid[..., None]
+        s = jnp.where(valid, jnp.take_along_axis(scores_b, idx, axis=1),
+                      -jnp.inf)
         level_boxes.append(b)
         level_scores.append(s)
-        level_valid.append(v)
+        level_valid.append(valid)
 
     if len(level_boxes) == 1:
         rois, scores, valid = level_boxes[0], level_scores[0], level_valid[0]

@@ -75,6 +75,26 @@ def level_anchors(stride, sizes, aspect_ratios, feat_h, feat_w):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("pre_top_n",))
+def proposals_prep_one_level(cls_logits, bbox_pred, anchors, im_hw,
+                             min_size_scaled, pre_top_n):
+    """Decode/clip/filter the top pre_top_n proposals for ONE image and ONE
+    level, WITHOUT NMS (which runs batched over images afterwards). Returns
+    (boxes (k, 4) score-descending, masked_scores (k,))."""
+    H, W, A = cls_logits.shape
+    n = H * W * A
+    scores = jax.nn.sigmoid(cls_logits.reshape(n).astype(jnp.float32))
+    deltas = bbox_pred.reshape(n, 4).astype(jnp.float32)
+
+    k = min(pre_top_n, n)
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    boxes = box_ops.bbox_transform(anchors[top_idx], deltas[top_idx],
+                                   (1.0, 1.0, 1.0, 1.0))
+    boxes = box_ops.clip_boxes_to_image(boxes, im_hw[0], im_hw[1])
+    keep = box_ops.small_box_mask(boxes, min_size_scaled)
+    return boxes, jnp.where(keep, top_scores, -jnp.inf)
+
+
 @functools.partial(jax.jit, static_argnames=("pre_top_n", "post_top_n"))
 def proposals_one_level(cls_logits, bbox_pred, anchors, im_hw, min_size_scaled,
                         pre_top_n, post_top_n, nms_thresh):

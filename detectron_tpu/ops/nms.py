@@ -147,3 +147,27 @@ def nms_padded_batched(boxes, scores, iou_threshold, max_output_size,
         tile_size=tile_size,
     )
     return jax.vmap(fn, in_axes=(0, 0, None))(boxes, scores, iou_threshold)
+
+
+def nms_batched_sorted(boxes, scores, iou_threshold, max_output_size,
+                       tile_size=256, impl=None):
+    """Batched greedy NMS over score-DESCENDING lanes: boxes (L, N, 4),
+    scores (L, N) with -inf invalid. Dispatches to the Pallas kernel on TPU
+    (cfg TPU.NMS_IMPL='pallas') or the vmapped tiled-XLA version elsewhere.
+    Returns (idx (L, K), valid (L, K))."""
+    from detectron_tpu.core.config import cfg
+
+    impl = impl or cfg.TPU.NMS_IMPL
+    if impl == "pallas":
+        from detectron_tpu.ops.pallas import nms_kernel
+
+        N = scores.shape[-1]
+        lanes = 8 if N >= 512 else 16
+        return nms_kernel.nms_many(
+            boxes, scores, iou_threshold, max_output_size,
+            lanes_per_step=lanes,
+            interpret=jax.default_backend() == "cpu")
+    fn = functools.partial(
+        nms_padded, max_output_size=max_output_size, tile_size=tile_size,
+        presorted=True)
+    return jax.vmap(fn, in_axes=(0, 0, None))(boxes, scores, iou_threshold)

@@ -78,3 +78,32 @@ def test_soft_nms_linear_decays_scores():
     assert by_ind[0] == np.float32(0.9)
     assert by_ind[1] < 0.8  # decayed by overlap with box 0
     assert by_ind[2] == np.float32(0.7)
+
+
+def test_pallas_nms_matches_padded():
+    import jax
+
+    from detectron_tpu.ops.pallas import nms_kernel
+
+    rng = np.random.RandomState(7)
+    L, N = 6, 64
+    boxes = np.zeros((L, N, 4), np.float32)
+    scores = np.zeros((L, N), np.float32)
+    for l in range(L):
+        dets = _rand_dets(rng, N)
+        order = np.argsort(-dets[:, 4])
+        boxes[l] = dets[order, :4]
+        scores[l] = dets[order, 4]
+        # random invalid tail
+        n_valid = rng.randint(10, N)
+        scores[l, n_valid:] = -np.inf
+    idx_p, valid_p = nms_kernel.nms_many(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.5, max_output_size=N,
+        lanes_per_step=2, interpret=True)
+    for l in range(L):
+        idx_r, valid_r = nms_ops.nms_padded(
+            jnp.asarray(boxes[l]), jnp.asarray(scores[l]), 0.5,
+            max_output_size=N, tile_size=32, presorted=True)
+        kp = np.asarray(idx_p[l])[np.asarray(valid_p[l])]
+        kr = np.asarray(idx_r)[np.asarray(valid_r)]
+        np.testing.assert_array_equal(kp, kr)
