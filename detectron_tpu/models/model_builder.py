@@ -156,6 +156,11 @@ def generate_proposals(rpn_outs, features, im_info, training):
 
     is_fpn_rpn = cfg.FPN.FPN_ON and cfg.FPN.MULTILEVEL_RPN
 
+    # Proposal generation never backpropagates (the reference computes
+    # proposals in host numpy — implicitly detached); detaching here also
+    # keeps autodiff out of the non-differentiable Pallas NMS kernel.
+    rpn_outs = jax.lax.stop_gradient(rpn_outs)
+
     level_boxes, level_scores, level_valid = [], [], []
     if is_fpn_rpn:
         anchor_cfgs = rpn_mod.fpn_anchor_config()
