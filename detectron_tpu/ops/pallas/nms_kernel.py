@@ -29,11 +29,11 @@ def _kernel(boxes_ref, valid_ref, nvalid_ref, thr_ref, keep_ref, *,
     y2 = boxes_ref[:, :, 3]
     area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
     valid = valid_ref[:, :] != 0
-    thr = thr_ref[0]
+    thr = thr_ref[0, 0]
 
     jidx = jax.lax.broadcasted_iota(jnp.int32, (lanes, n_boxes), 1)
 
-    n_iter = jnp.max(nvalid_ref[:])
+    n_iter = jnp.max(nvalid_ref[:, 0])
 
     def body(i, keep):
         bx1 = x1[:, i][:, None]
@@ -65,8 +65,8 @@ def nms_keep_mask(boxes, valid, thr, lanes_per_step=8, interpret=False):
     L, N = valid.shape
     assert L % lanes_per_step == 0
     grid = (L // lanes_per_step,)
-    nvalid = jnp.sum(valid, axis=1).astype(jnp.int32)
-    thr_arr = jnp.asarray([thr], jnp.float32)
+    nvalid = jnp.sum(valid, axis=1).astype(jnp.int32)[:, None]
+    thr_arr = jnp.asarray([[thr]], jnp.float32)
 
     kernel = functools.partial(
         _kernel, lanes=lanes_per_step, n_boxes=N)
@@ -79,9 +79,10 @@ def nms_keep_mask(boxes, valid, thr, lanes_per_step=8, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lanes_per_step, N), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((lanes_per_step,), lambda i: (i,),
+            pl.BlockSpec((lanes_per_step, 1), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((lanes_per_step, N), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
