@@ -167,3 +167,64 @@ def test_load_detectron_pkl_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(params["box_outs"]["cls_score"]["w"]),
         dwh._fc(blobs["cls_score_w"]), rtol=1e-6)
+
+
+def test_imagenet_resnet_state_dict_import():
+    """Synthetic torchvision-style ResNet-50 state dict (with BN running
+    stats) folds into the body params correctly."""
+    import jax
+
+    from detectron_tpu.core.configs_presets import mask_rcnn_r50_fpn
+    from detectron_tpu.models import model_builder as mb
+    from detectron_tpu.utils import resnet_weights_helper as rwh
+
+    mask_rcnn_r50_fpn(num_classes=4)
+    config.assert_and_infer_cfg(make_immutable=False)
+    params = mb.init_model(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    sd = {"conv1.weight": rng.randn(64, 3, 7, 7).astype(np.float32)}
+    for n in ("weight", "bias", "running_mean", "running_var"):
+        v = rng.rand(64).astype(np.float32) + 0.5
+        sd["bn1." + n] = v
+    counts = {1: 3, 2: 4, 3: 6, 4: 3}
+    dims = {1: (64, 256), 2: (128, 512), 3: (256, 1024), 4: (512, 2048)}
+    for li, n_blocks in counts.items():
+        inner, outer = dims[li]
+        in_c = 64 if li == 1 else dims[li - 1][1]
+        for b in range(n_blocks):
+            pre = "layer{}.{}.".format(li, b)
+            cin = in_c if b == 0 else outer
+            sd[pre + "conv1.weight"] = rng.randn(
+                inner, cin, 1, 1).astype(np.float32)
+            sd[pre + "conv2.weight"] = rng.randn(
+                inner, inner, 3, 3).astype(np.float32)
+            sd[pre + "conv3.weight"] = rng.randn(
+                outer, inner, 1, 1).astype(np.float32)
+            for bi, ch in (("bn1", inner), ("bn2", inner), ("bn3", outer)):
+                for n in ("weight", "bias", "running_mean", "running_var"):
+                    sd[pre + bi + "." + n] = (
+                        rng.rand(ch).astype(np.float32) + 0.5)
+            if b == 0:
+                sd[pre + "downsample.0.weight"] = rng.randn(
+                    outer, cin, 1, 1).astype(np.float32)
+                for n in ("weight", "bias", "running_mean", "running_var"):
+                    sd[pre + "downsample.1." + n] = (
+                        rng.rand(outer).astype(np.float32) + 0.5)
+
+    updates = rwh.convert_state_dict(sd, 50, 4)
+    # conv1 transposed to HWIO
+    np.testing.assert_allclose(
+        updates[("body", "conv1", "w")],
+        np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
+    # BN folded: s = gamma/sqrt(var+eps)
+    s = updates[("body", "res_conv1_bn", "s")]
+    np.testing.assert_allclose(
+        s, sd["bn1.weight"] / np.sqrt(sd["bn1.running_var"] + 1e-5),
+        rtol=1e-6)
+    # every update path exists in the model with matching shape
+    for path, val in updates.items():
+        node = params
+        for pp in path:
+            node = node[pp]
+        assert tuple(np.asarray(node).shape) == tuple(val.shape), path
