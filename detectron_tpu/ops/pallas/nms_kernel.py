@@ -33,7 +33,7 @@ def _kernel(boxes_ref, valid_ref, nvalid_ref, thr_ref, keep_ref, *,
 
     jidx = jax.lax.broadcasted_iota(jnp.int32, (lanes, n_boxes), 1)
 
-    n_iter = jnp.max(nvalid_ref[:, 0])
+    n_iter = nvalid_ref[0, 0]  # per-block max valid count (scalar)
 
     def body(i, keep):
         bx1 = x1[:, i][:, None]
@@ -65,7 +65,12 @@ def nms_keep_mask(boxes, valid, thr, lanes_per_step=8, interpret=False):
     L, N = valid.shape
     assert L % lanes_per_step == 0
     grid = (L // lanes_per_step,)
-    nvalid = jnp.sum(valid, axis=1).astype(jnp.int32)[:, None]
+    # Per-block max valid count (score-sorted lanes put valid boxes in a
+    # prefix, so the greedy loop can stop there). SMEM only supports scalar
+    # loads, so the per-block max is computed here.
+    nvalid = jnp.sum(valid, axis=1).astype(jnp.int32)
+    nvalid_blk = jnp.max(
+        nvalid.reshape(L // lanes_per_step, lanes_per_step), axis=1)[:, None]
     thr_arr = jnp.asarray([[thr]], jnp.float32)
 
     kernel = functools.partial(
@@ -79,7 +84,7 @@ def nms_keep_mask(boxes, valid, thr, lanes_per_step=8, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lanes_per_step, N), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((lanes_per_step, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -88,7 +93,8 @@ def nms_keep_mask(boxes, valid, thr, lanes_per_step=8, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, N), jnp.int32),
         interpret=interpret,
-    )(boxes.astype(jnp.float32), valid.astype(jnp.int32), nvalid, thr_arr)
+    )(boxes.astype(jnp.float32), valid.astype(jnp.int32), nvalid_blk,
+      thr_arr)
     return keep != 0
 
 
