@@ -21,7 +21,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(boxes_ref, valid_ref, nvalid_ref, thr_ref, keep_ref, *,
+def _kernel(nvalid_ref, thr_ref, boxes_ref, valid_ref, keep_ref, *,
             lanes, n_boxes):
     x1 = boxes_ref[:, :, 0]
     y1 = boxes_ref[:, :, 1]
@@ -29,11 +29,11 @@ def _kernel(boxes_ref, valid_ref, nvalid_ref, thr_ref, keep_ref, *,
     y2 = boxes_ref[:, :, 3]
     area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
     valid = valid_ref[:, :] != 0
-    thr = thr_ref[0, 0]
+    thr = thr_ref[0]
 
     jidx = jax.lax.broadcasted_iota(jnp.int32, (lanes, n_boxes), 1)
 
-    n_iter = nvalid_ref[0, 0]  # per-block max valid count (scalar)
+    n_iter = nvalid_ref[pl.program_id(0)]  # per-block max valid count
 
     def body(i, keep):
         bx1 = x1[:, i][:, None]
@@ -70,31 +70,32 @@ def nms_keep_mask(boxes, valid, thr, lanes_per_step=8, interpret=False):
     # loads, so the per-block max is computed here.
     nvalid = jnp.sum(valid, axis=1).astype(jnp.int32)
     nvalid_blk = jnp.max(
-        nvalid.reshape(L // lanes_per_step, lanes_per_step), axis=1)[:, None]
-    thr_arr = jnp.asarray([[thr]], jnp.float32)
+        nvalid.reshape(L // lanes_per_step, lanes_per_step), axis=1)
+    thr_arr = jnp.asarray([thr], jnp.float32)
 
     kernel = functools.partial(
         _kernel, lanes=lanes_per_step, n_boxes=N)
 
     keep = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((lanes_per_step, N, 4), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((lanes_per_step, N), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((lanes_per_step, N), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((lanes_per_step, N, 4),
+                             lambda i, nv, t: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((lanes_per_step, N), lambda i, nv, t: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((lanes_per_step, N),
+                                   lambda i, nv, t: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
         out_shape=jax.ShapeDtypeStruct((L, N), jnp.int32),
         interpret=interpret,
-    )(boxes.astype(jnp.float32), valid.astype(jnp.int32), nvalid_blk,
-      thr_arr)
+    )(nvalid_blk, thr_arr, boxes.astype(jnp.float32),
+      valid.astype(jnp.int32))
     return keep != 0
 
 
