@@ -23,10 +23,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(nvalid_ref, thr_ref, boxes_ref, valid_ref, keep_ref, *,
             lanes, n_boxes):
-    x1 = boxes_ref[:, :, 0]
-    y1 = boxes_ref[:, :, 1]
-    x2 = boxes_ref[:, :, 2]
-    y2 = boxes_ref[:, :, 3]
+    # boxes_ref: (4, L, N) — coordinate-major so the (L, N) trailing dims
+    # tile cleanly as (8, 128); an (L, N, 4) layout would pad the 4-wide
+    # lane dim to 128 (32x VMEM blowup).
+    x1 = boxes_ref[0]
+    y1 = boxes_ref[1]
+    x2 = boxes_ref[2]
+    y2 = boxes_ref[3]
     area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
     valid = valid_ref[:, :] != 0
     thr = thr_ref[0]
@@ -36,24 +39,47 @@ def _kernel(nvalid_ref, thr_ref, boxes_ref, valid_ref, keep_ref, *,
     n_iter = nvalid_ref[pl.program_id(0)]  # per-block max valid count
 
     def body(i, keep):
-        bx1 = x1[:, i][:, None]
-        by1 = y1[:, i][:, None]
-        bx2 = x2[:, i][:, None]
-        by2 = y2[:, i][:, None]
-        barea = area[:, i][:, None]
+        # keep: (L, N) float32 {0, 1} — Mosaic loop carries legalize more
+        # reliably as f32 vectors than i1 masks.
+        # Load the pivot box straight from the ref (Mosaic supports dynamic
+        # ref slices but not dynamic value slices).
+        # Extract the pivot box via masked reduces (lane-dim dynamic
+        # slices must be 128-aligned on TPU; reduces are cheap VPU ops).
+        sel = jidx == i
+        neg = jnp.float32(-1e30)
+
+        def pick(v):
+            return jnp.max(jnp.where(sel, v, neg), axis=1, keepdims=True)
+
+        bx1 = pick(x1)
+        by1 = pick(y1)
+        bx2 = pick(x2)
+        by2 = pick(y2)
+        barea = (bx2 - bx1 + 1.0) * (by2 - by1 + 1.0)
         iw = jnp.maximum(
             jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1) + 1.0, 0.0)
         ih = jnp.maximum(
             jnp.minimum(y2, by2) - jnp.maximum(y1, by1) + 1.0, 0.0)
         inter = iw * ih
         iou = inter / (area + barea - inter)
-        alive = keep[:, i][:, None]
-        sup = (iou > thr) & (jidx > i) & alive
-        return keep & ~sup
+        # Pivot aliveness without value dynamic-slice: masked max-reduce.
+        alive = jnp.max(
+            jnp.where(jidx == i, keep, 0.0), axis=1, keepdims=True)
+        sup = (iou > thr) & (jidx > i) & (alive > 0.5)
+        return jnp.where(sup, 0.0, keep)
 
-    keep0 = valid
-    keep = jax.lax.fori_loop(0, n_iter, body, keep0)
-    keep_ref[:, :] = keep.astype(jnp.int32)
+    keep0 = valid.astype(jnp.float32)
+
+    def cond(state):
+        i, _ = state
+        return i < n_iter
+
+    def wbody(state):
+        i, keep = state
+        return i + 1, body(i, keep)
+
+    _, keep = jax.lax.while_loop(cond, wbody, (jnp.int32(0), keep0))
+    keep_ref[:, :] = (keep > 0.5).astype(jnp.int32)
 
 
 @functools.partial(
@@ -82,8 +108,8 @@ def nms_keep_mask(boxes, valid, thr, lanes_per_step=8, interpret=False):
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((lanes_per_step, N, 4),
-                             lambda i, nv, t: (i, 0, 0),
+                pl.BlockSpec((4, lanes_per_step, N),
+                             lambda i, nv, t: (0, i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((lanes_per_step, N), lambda i, nv, t: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -94,7 +120,8 @@ def nms_keep_mask(boxes, valid, thr, lanes_per_step=8, interpret=False):
         ),
         out_shape=jax.ShapeDtypeStruct((L, N), jnp.int32),
         interpret=interpret,
-    )(nvalid_blk, thr_arr, boxes.astype(jnp.float32),
+    )(nvalid_blk, thr_arr,
+      jnp.transpose(boxes.astype(jnp.float32), (2, 0, 1)),
       valid.astype(jnp.int32))
     return keep != 0
 
