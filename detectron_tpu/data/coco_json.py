@@ -88,6 +88,15 @@ class COCO:
             if "segmentation" in ann and "area" not in ann:
                 from detectron_tpu.data import rle as mask_util
                 ann["area"] = mask_util.area(ann["segmentation"])
+            if "keypoints" in ann and "area" not in ann:
+                # pycocotools loadRes: area/bbox from the keypoint extent
+                import numpy as np
+                k = np.asarray(ann["keypoints"])
+                xs, ys = k[0::3], k[1::3]
+                x0, x1_, y0, y1_ = xs.min(), xs.max(), ys.min(), ys.max()
+                ann["area"] = float((x1_ - x0) * (y1_ - y0))
+                ann["bbox"] = [float(x0), float(y0), float(x1_ - x0),
+                               float(y1_ - y0)]
             ann.setdefault("iscrowd", 0)
             res.dataset.setdefault("annotations", []).append(ann)
         res.create_index()
