@@ -30,7 +30,7 @@ def main():
     ])
     config.assert_and_infer_cfg(make_immutable=False)
 
-    B = 16  # batch per chip
+    B = 32  # batch per chip
     H, W = 832, 1344
 
     params = mb.init_model(jax.random.PRNGKey(0))

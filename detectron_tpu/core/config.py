@@ -335,6 +335,10 @@ __C.TPU.ROI_CHUNK = 128
 __C.TPU.ROI_IMPL = "pallas"
 # Batched NMS implementation: 'pallas' (TPU kernel) or 'xla' (tiled lax).
 __C.TPU.NMS_IMPL = "pallas"
+# Rematerialize (jax.checkpoint) each backbone stage in the train graph —
+# trades ~30% more FLOPs for O(stage) activation memory; enables big-batch /
+# X-152 multi-scale training on 16 GB chips.
+__C.TPU.REMAT_BODY = False
 # Window size (feature cells) for the windowed implementation. 40 covers
 # every RoI the FPN level assignment can produce at <=1333px inputs except
 # extreme aspect ratios, which clamp.

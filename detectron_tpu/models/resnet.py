@@ -175,7 +175,13 @@ def apply_body(p, x, num_stages, freeze_at=None):
             stride, dil = 1, cfg.RESNETS.RES5_DILATION
         else:
             stride, dil = (1 if s == 0 else 2), 1
-        h = apply_stage(sp, h, stride, dil, ng)
+        if cfg.TPU.REMAT_BODY:
+            stage_fn = jax.checkpoint(
+                lambda sp_, h_, _stride=stride, _dil=dil: apply_stage(
+                    sp_, h_, _stride, _dil, ng))
+            h = stage_fn(sp, h)
+        else:
+            h = apply_stage(sp, h, stride, dil, ng)
         outs.append(h)
     return outs
 

@@ -123,3 +123,14 @@ def test_lr_schedule():
     assert float(lr_fn(jnp.int32(50))) == pytest.approx(0.01)
     # After decay step
     assert float(lr_fn(jnp.int32(150))) == pytest.approx(0.001)
+
+
+def test_train_step_with_remat():
+    _tiny_train_cfg()
+    config.merge_cfg_from_list(["TPU.REMAT_BODY", "True"])
+    params = mb.init_model(jax.random.PRNGKey(0))
+    opt_state = opt.init_opt_state(params)
+    batch = _tiny_batch()
+    p2, o2, stats = jax.jit(ts.train_step)(
+        params, opt_state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(stats["loss"]))
