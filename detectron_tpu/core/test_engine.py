@@ -156,9 +156,28 @@ def test_net(params, roidb_entries, dataset, batch_size=8, output_dir=None,
 
     use_props = cfg.TEST.PRECOMPUTED_PROPOSALS
     if detect_fn is None:
-        detect_fn = jax.jit(
-            test_ops.detect_graph_with_proposals if use_props
-            else test_ops.detect_graph)
+        graph = test_ops.detect_graph_with_proposals if use_props \
+            else test_ops.detect_graph
+        n_dev = len(jax.devices())
+        if n_dev > 1 and batch_size % n_dev == 0:
+            # Mesh-sharded eval: the batch splits across chips, params
+            # replicate — the reference's per-GPU subprocess sharding
+            # (lib/utils/subprocess.py) as one SPMD program.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from detectron_tpu.parallel import mesh as mesh_mod
+
+            mesh = mesh_mod.make_mesh()
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            n_batch_args = 3 if use_props else 2
+            detect_fn = jax.jit(
+                graph,
+                in_shardings=(repl,) + (data,) * n_batch_args
+                + ((data,) if use_props else ()),
+            )
+        else:
+            detect_fn = jax.jit(graph)
 
     timers = defaultdict(Timer)
 

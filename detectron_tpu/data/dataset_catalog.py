@@ -16,8 +16,12 @@ DEVKIT_DIR = "devkit_directory"
 RAW_DIR = "raw_dir"
 
 
-def _D(path):
-    return os.path.join(cfg.DATA_DIR, path)
+class _D(str):
+    """DATA_DIR-relative path, resolved lazily against cfg.DATA_DIR (which
+    yaml files may override after this module imports)."""
+
+    def resolve(self):
+        return os.path.join(cfg.DATA_DIR, str(self))
 
 
 def _coco(im_sub, ann_sub, prefix=""):
@@ -89,12 +93,16 @@ DATASETS = {
 }
 
 
+def _resolve(v):
+    return v.resolve() if isinstance(v, _D) else v
+
+
 def get_im_dir(name):
-    return DATASETS[name][IM_DIR]
+    return _resolve(DATASETS[name][IM_DIR])
 
 
 def get_ann_fn(name):
-    return DATASETS[name][ANN_FN]
+    return _resolve(DATASETS[name][ANN_FN])
 
 
 def get_im_prefix(name):
@@ -102,8 +110,8 @@ def get_im_prefix(name):
 
 
 def get_devkit_dir(name):
-    return DATASETS[name][DEVKIT_DIR]
+    return _resolve(DATASETS[name][DEVKIT_DIR])
 
 
 def get_raw_dir(name):
-    return DATASETS[name][RAW_DIR]
+    return _resolve(DATASETS[name][RAW_DIR])

@@ -173,3 +173,21 @@ def test_precomputed_proposals_mode(synthetic_dataset, tmp_path):
         params, roidb, ds, batch_size=2, output_dir=None)
     assert len(all_boxes) == 4
     assert len(all_boxes[1]) == 3
+
+
+def test_multi_device_eval_sharding(synthetic_dataset, tmp_path):
+    """Eval with the batch sharded over the 8 virtual devices (the
+    reference's multi-GPU subprocess sharding, as one SPMD program)."""
+    import jax
+
+    _tiny_infer_cfg(mask_on=False)
+    from detectron_tpu.core import test_engine
+    from detectron_tpu.data.json_dataset import JsonDataset
+
+    assert len(jax.devices()) == 8
+    ds = JsonDataset("coco_2017_val")
+    roidb = ds.get_roidb(gt=True)
+    params = test_engine.initialize_model_from_cfg()
+    all_boxes, _, _ = test_engine.test_net(
+        params, roidb, ds, batch_size=8, output_dir=None)
+    assert len(all_boxes[1]) == 3
