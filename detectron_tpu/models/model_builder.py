@@ -126,9 +126,17 @@ def forward_features(params, images):
         jnp.float32
     x = images.astype(dtype)
     spec = build_spec()
-    outs = resnet.apply_body(params["body"], x, spec.num_stages)
+    body_p = params["body"]
+    fpn_p = params.get("fpn")
+    if cfg.TRAIN.FREEZE_CONV_BODY:
+        # Reference TRAIN.FREEZE_CONV_BODY: the whole conv body (incl. FPN)
+        # trains no parameters.
+        body_p = jax.lax.stop_gradient(body_p)
+        if fpn_p is not None:
+            fpn_p = jax.lax.stop_gradient(fpn_p)
+    outs = resnet.apply_body(body_p, x, spec.num_stages)
     if spec.is_fpn:
-        return fpn_mod.apply_fpn(params["fpn"], outs)
+        return fpn_mod.apply_fpn(fpn_p, outs)
     return [outs[-1]], [1.0 / 16.0]
 
 

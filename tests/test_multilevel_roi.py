@@ -148,3 +148,39 @@ def test_pallas_interpret_matches_windowed():
             chunk=4))
     ref = np.stack([np.asarray(r) for r in ref])
     np.testing.assert_allclose(np.asarray(out_p), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_crop_matches_torch_grid_sample():
+    """ops/roi_crop vs torch affine_grid + grid_sample (the reference's
+    RoICrop formulation), align_corners=True era semantics."""
+    import torch
+    import torch.nn.functional as F
+
+    from detectron_tpu.ops import roi_crop as rc
+
+    rng = np.random.RandomState(0)
+    H, W, C = 20, 24, 3
+    feat = rng.randn(H, W, C).astype(np.float32)
+    rois = np.array([[16, 16, 160, 120], [40.5, 8.25, 200.0, 240.0]],
+                    np.float32)
+    scale = 1.0 / 16
+    P = 7
+
+    out = rc.roi_crop(jnp.asarray(feat), jnp.asarray(rois), scale,
+                      pooled_h=P, pooled_w=P, max_pool=False)
+
+    ft = torch.tensor(feat.transpose(2, 0, 1))[None]
+    for r in range(len(rois)):
+        x1, y1, x2, y2 = (float(v) for v in rois[r] * scale)
+        # affine theta mapping output grid to normalized input coords
+        theta = torch.zeros(1, 2, 3)
+        theta[0, 0, 0] = (x2 - x1) / (W - 1)
+        theta[0, 0, 2] = (x1 + x2 - (W - 1)) / (W - 1)
+        theta[0, 1, 1] = (y2 - y1) / (H - 1)
+        theta[0, 1, 2] = (y1 + y2 - (H - 1)) / (H - 1)
+        grid = F.affine_grid(theta, (1, C, P, P), align_corners=True)
+        ref = F.grid_sample(ft, grid, align_corners=True,
+                            padding_mode="zeros")
+        ref = ref[0].numpy().transpose(1, 2, 0)
+        np.testing.assert_allclose(np.asarray(out[r]), ref, rtol=1e-4,
+                                   atol=1e-4)
