@@ -100,7 +100,7 @@ def _detect_tail(params, features, scales, rois, roi_valid, im_info):
         cls_boxes = jnp.broadcast_to(rois[:, :, None, :], (B, R, C - 1, 4))
 
     cls_scores = probs[..., 1:]  # (B, R, C-1)
-    thresh_scores = jnp.where(cls_scores >= cfg.TEST.SCORE_THRESH,
+    thresh_scores = jnp.where(cls_scores > cfg.TEST.SCORE_THRESH,
                               cls_scores, -jnp.inf)
 
     D = cfg.TEST.DETECTIONS_PER_IM
