@@ -191,3 +191,49 @@ def test_multi_device_eval_sharding(synthetic_dataset, tmp_path):
     all_boxes, _, _ = test_engine.test_net(
         params, roidb, ds, batch_size=8, output_dir=None)
     assert len(all_boxes[1]) == 3
+
+
+def test_device_graph_matches_host_path(synthetic_dataset):
+    """The all-device detect graph must produce the same final detections as
+    the host composition (detect_raw + host per-class NMS + limit) — the
+    whole in-graph pipeline cross-checked against the reference-structured
+    path on identical weights."""
+    import cv2
+    import jax
+
+    from detectron_tpu.core import test as test_ops
+    from detectron_tpu.core import test_engine
+    from detectron_tpu.utils import blob as blob_utils
+
+    _tiny_infer_cfg(mask_on=False)
+    params = test_engine.initialize_model_from_cfg()
+
+    img_path = os.path.join(
+        str(synthetic_dataset), "coco", "val2017", "000000000001.jpg")
+    im = cv2.imread(img_path)
+    import jax.numpy as jnp
+
+    blob, scale, im_info = blob_utils.get_image_blob(im)
+
+    # Device pipeline
+    out = jax.jit(test_ops.detect_graph)(
+        params, jnp.asarray(blob), jnp.asarray(im_info))
+    valid = np.asarray(out["valid"][0])
+    dev_boxes = np.asarray(out["boxes"][0])[valid] / scale
+    dev_scores = np.asarray(out["scores"][0])[valid]
+
+    # Host-reference composition
+    raw = jax.jit(test_ops.detect_raw)(
+        params, jnp.asarray(blob), jnp.asarray(im_info))
+    scores = np.asarray(raw["scores"][0])
+    boxes = np.asarray(raw["boxes"][0]) / scale
+    h_scores, h_boxes, _ = test_ops.box_results_with_nms_and_limit(
+        scores, boxes)
+
+    assert len(dev_scores) == len(h_scores)
+    ds = np.argsort(-dev_scores)
+    hs = np.argsort(-h_scores)
+    np.testing.assert_allclose(dev_scores[ds], h_scores[hs], rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(dev_boxes[ds], h_boxes[hs], rtol=1e-3,
+                               atol=0.05)
