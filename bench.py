@@ -19,6 +19,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: repeat driver runs skip the ~5 min compile.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from detectron_tpu.core import config
     from detectron_tpu.core.configs_presets import mask_rcnn_r50_fpn
     from detectron_tpu.core import test as test_engine
