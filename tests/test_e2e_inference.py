@@ -237,3 +237,36 @@ def test_device_graph_matches_host_path(synthetic_dataset):
                                atol=1e-5)
     np.testing.assert_allclose(dev_boxes[ds], h_boxes[hs], rtol=1e-3,
                                atol=0.05)
+
+
+def test_im_detect_all_with_bbox_aug(synthetic_dataset):
+    """TTA end-to-end: hflip + one extra scale, UNION combination."""
+    import cv2
+    import jax
+
+    from detectron_tpu.core import test as test_ops
+    from detectron_tpu.core import test_engine
+
+    _tiny_infer_cfg(mask_on=False)
+    config.merge_cfg_from_list([
+        "TEST.BBOX_AUG.ENABLED", "True",
+        "TEST.BBOX_AUG.H_FLIP", "True",
+        "TEST.BBOX_AUG.SCALES", "(64,)",
+        "TEST.BBOX_AUG.MAX_SIZE", "96",
+        "TEST.BBOX_AUG.SCALE_H_FLIP", "True",
+    ])
+    params = test_engine.initialize_model_from_cfg()
+    fns = {"detect_raw": jax.jit(test_ops.detect_raw)}
+    img_path = os.path.join(
+        str(synthetic_dataset), "coco", "val2017", "000000000001.jpg")
+    im = cv2.imread(img_path)
+    cls_boxes, _, _ = test_ops.im_detect_all(params, im, fns)
+    total = sum(len(b) for b in cls_boxes[1:])
+    assert 0 < total <= cfg.TEST.DETECTIONS_PER_IM * 3
+    for j in range(1, 4):
+        if len(cls_boxes[j]):
+            b = cls_boxes[j]
+            # decode can emit sub-pixel boxes with x2 = x1 + w - 1 slightly
+            # below x1 (reference bbox_transform semantics)
+            assert (b[:, 2] >= b[:, 0] - 1.0).all()
+            assert (b[:, 0] >= -1.5).all() and (b[:, 2] <= im.shape[1]).all()
