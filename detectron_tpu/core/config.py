@@ -182,6 +182,10 @@ __C.SOLVER.WARM_UP_METHOD = "linear"
 __C.SOLVER.SCALE_MOMENTUM = True
 __C.SOLVER.SCALE_MOMENTUM_THRESHOLD = 1.1
 __C.SOLVER.LOG_LR_CHANGE_THRESHOLD = 1.1
+# Global-norm gradient clipping (0 = off). The reference ships a
+# clip_gradient helper (lib/utils/net.py); this is its global-norm form,
+# needed for from-scratch training without normalization layers.
+__C.SOLVER.CLIP_GRADIENTS = 0.0
 
 # ---------------------------------------------------------------------------
 # Fast R-CNN (box head)

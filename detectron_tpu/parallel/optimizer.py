@@ -74,6 +74,13 @@ def init_opt_state(params):
 
 def apply_updates(params, grads, opt_state):
     """One Caffe2-style SGD+momentum step with Detectron group rules."""
+    if cfg.SOLVER.CLIP_GRADIENTS > 0:
+        gnorm = jnp.sqrt(sum(
+            jnp.sum(jnp.square(g.astype(jnp.float32)))
+            for g in jax.tree.leaves(grads)))
+        scale = jnp.minimum(1.0, cfg.SOLVER.CLIP_GRADIENTS /
+                            jnp.maximum(gnorm, 1e-12))
+        grads = jax.tree.map(lambda g: g * scale, grads)
     lr = make_lr_fn()(opt_state["step"])
     mu = cfg.SOLVER.MOMENTUM
     wd = cfg.SOLVER.WEIGHT_DECAY
