@@ -134,3 +134,27 @@ def test_train_step_with_remat():
     p2, o2, stats = jax.jit(ts.train_step)(
         params, opt_state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(stats["loss"]))
+
+
+def test_train_step_deterministic():
+    """Same seed + same batch -> bitwise-identical params after 2 steps
+    (deterministic resume is the failure-recovery contract, SURVEY.md §5.3)."""
+    _tiny_train_cfg()
+
+    def run():
+        params = mb.init_model(jax.random.PRNGKey(0))
+        opt_state = opt.init_opt_state(params)
+        batch = _tiny_batch()
+        step = jax.jit(ts.train_step)
+        for i in range(2):
+            params, opt_state, _ = step(
+                params, opt_state, batch,
+                jax.random.fold_in(jax.random.PRNGKey(5), i))
+        return params
+
+    p1 = run()
+    p2 = run()
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        p1, p2)
