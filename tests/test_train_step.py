@@ -158,3 +158,22 @@ def test_train_step_deterministic():
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         p1, p2)
+
+
+def test_grad_accumulation_matches_big_batch_direction():
+    """iter_size accumulation: 2 inner microbatches produce finite losses
+    and an update; the accumulated grads average the inner losses (the
+    reference's --iter_size contract)."""
+    _tiny_train_cfg()
+    mesh = mesh_mod.make_mesh(1)
+    params = mb.init_model(jax.random.PRNGKey(0))
+    opt_state = opt.init_opt_state(params)
+    b = _tiny_batch()
+    stacked = jax.tree.map(lambda x: jnp.stack([x, x]), b)
+    with mesh:
+        step = ts.make_pjit_train_step_accum(mesh, iter_size=2)
+        p2, o2, stats = step(params, opt_state, stacked,
+                             jax.random.PRNGKey(1))
+    for k, v in stats.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    assert int(np.asarray(o2["step"])) == 1
