@@ -228,3 +228,57 @@ def test_imagenet_resnet_state_dict_import():
         for pp in path:
             node = node[pp]
         assert tuple(np.asarray(node).shape) == tuple(val.shape), path
+
+
+def test_convert_detectron_pkl_cli(tmp_path):
+    """The conversion CLI maps a synthetic pkl and writes a loadable ckpt."""
+    import pickle
+    import subprocess
+    import sys
+    import os
+
+    from detectron_tpu.core.configs_presets import mask_rcnn_r50_fpn
+    from detectron_tpu.models import model_builder as mb
+
+    mask_rcnn_r50_fpn(num_classes=81)
+    config.assert_and_infer_cfg(make_immutable=False)
+    params = mb.init_model(jax.random.PRNGKey(0))
+    mapping = dwh.full_weight_mapping()
+    rng = np.random.RandomState(0)
+    blobs = {}
+    for name, (path, transform) in mapping.items():
+        node = params
+        for p in path:
+            node = node[p]
+        shape = np.asarray(node).shape
+        if transform is dwh._conv:
+            blob = rng.randn(shape[3], shape[2], shape[0], shape[1])
+        elif transform is dwh._deconv:
+            blob = rng.randn(shape[2], shape[3], shape[0], shape[1])
+        elif transform is dwh._fc:
+            blob = rng.randn(shape[1], shape[0])
+        else:
+            blob = rng.randn(*shape)
+        blobs[name] = blob.astype(np.float32)
+    pkl = tmp_path / "w.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"blobs": blobs}, f)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_file = os.path.join(repo, "configs", "baselines",
+                            "e2e_mask_rcnn_R-50-FPN_1x.yaml")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "convert_detectron_pkl.py", "--cfg", cfg_file,
+         "--pkl", str(pkl), "--out", str(tmp_path / "ckpt")],
+        cwd=os.path.join(repo, "tools"), env=env, capture_output=True,
+        text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    from detectron_tpu.utils import net as net_utils
+
+    loaded = net_utils.load_ckpt_params(
+        str(tmp_path / "ckpt" / "ckpt" / "model_step0"))
+    np.testing.assert_allclose(
+        np.asarray(loaded["body"]["conv1"]["w"]),
+        dwh._conv(blobs["conv1_w"]), rtol=1e-6)
