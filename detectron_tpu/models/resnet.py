@@ -48,7 +48,12 @@ def _norm_apply(p, x):
             p["s"].shape[0], cfg.GROUP_NORM.DIM_PER_GP, cfg.GROUP_NORM.NUM_GROUPS
         )
         return L.group_norm(p, x, g, cfg.GROUP_NORM.EPSILON)
-    return L.affine_channel(p, x)
+    # AffineChannel params are frozen BN statistics: the reference freezes
+    # every AffineChannel2d (lib/nn/modules/affine.py; requires_grad=False in
+    # lib/modeling/ResNet.py). stop_gradient keeps them constant (the
+    # optimizer additionally exempts them from weight decay — see
+    # parallel/optimizer.py :: _param_kind 'affine').
+    return L.affine_channel(jax.lax.stop_gradient(p), x)
 
 
 # ---------------------------------------------------------------------------

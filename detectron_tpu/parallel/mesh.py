@@ -64,7 +64,12 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh, batch, axis_name="data"):
-    """Place a host batch pytree onto the mesh, batch-dim sharded."""
-    sh = batch_sharding(mesh, axis_name)
+def shard_batch(mesh, batch, axis_name="data", leading_accum=False):
+    """Place a host batch pytree onto the mesh, batch-dim sharded.
+
+    leading_accum: the arrays carry an extra leading iter_size dim (gradient
+    accumulation); shard the second dim instead.
+    """
+    spec = P(None, axis_name) if leading_accum else P(axis_name)
+    sh = NamedSharding(mesh, spec)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

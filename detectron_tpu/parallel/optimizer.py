@@ -21,9 +21,32 @@ from detectron_tpu.core.config import cfg
 
 
 def _param_kind(path):
-    """Classify a pytree path: 'bias' | 'gn' | 'weight'."""
+    """Classify a pytree path: 'bias' | 'gn' | 'affine' | 'weight'.
+
+    '*_bn' params are the body's norm layers: AffineChannel (frozen BN —
+    reference freezes ALL AffineChannel2d params, so kind 'affine' gets
+    lr 0 / wd 0) unless RESNETS.USE_GN, in which case they are GroupNorm
+    scale/bias (kind 'gn', SOLVER.WEIGHT_DECAY_GN).
+    """
     keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
     keys = [k for k in keys if isinstance(k, str)]
+    # Frozen body stages (RESNETS.FREEZE_AT / TRAIN.FREEZE_CONV_BODY): the
+    # reference drops requires_grad=False params from the optimizer, so they
+    # see neither LR nor weight decay. stop_gradient in apply_body zeroes
+    # their grads; this keeps weight decay off them too.
+    if keys and keys[0] in ("body", "fpn") and cfg.TRAIN.FREEZE_CONV_BODY:
+        return "frozen"
+    if keys and keys[0] == "body":
+        fa = cfg.RESNETS.FREEZE_AT
+        if fa >= 2 and len(keys) > 1:
+            sub = keys[1]
+            if sub in ("conv1", "res_conv1_bn"):
+                return "frozen"
+            if sub.startswith("res") and sub[3:].isdigit() \
+                    and int(sub[3:]) <= fa:
+                return "frozen"
+    if any(k.endswith("_bn") for k in keys):
+        return "gn" if cfg.RESNETS.USE_GN else "affine"
     if any(k.endswith("_gn") or k == "gns" for k in keys):
         return "gn"
     if keys and keys[-1] == "b":
@@ -90,6 +113,11 @@ def apply_updates(params, grads, opt_state):
 
     def upd(path, p, g, v):
         kind = _param_kind(path)
+        if kind in ("affine", "frozen"):
+            # Frozen params: never updated (reference requires_grad=False on
+            # every AffineChannel2d and on FREEZE_AT stages — excluded from
+            # the optimizer's param groups entirely).
+            return p, v
         if kind == "bias":
             eff_lr, eff_wd = lr * bias_lr_mult, bias_wd
         elif kind == "gn":

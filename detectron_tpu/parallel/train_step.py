@@ -56,7 +56,8 @@ def make_pjit_train_step(mesh, axis_name="data", donate=True,
     )
 
 
-def make_pjit_train_step_accum(mesh, iter_size, axis_name="data"):
+def make_pjit_train_step_accum(mesh, iter_size, axis_name="data",
+                               donate=True):
     """Gradient-accumulation variant: `batch` has an extra leading iter_size
     dim; grads are averaged over the inner iterations before the update
     (matches the reference's inner `iter_size` loop semantics where each
@@ -73,17 +74,21 @@ def make_pjit_train_step_accum(mesh, iter_size, axis_name="data"):
                 total, parts = train_graph.training_losses(p, b, r)
                 return total / iter_size, parts
 
-            (_, parts), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            return jax.tree.map(jnp.add, acc, g), parts
+            (scaled, parts), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            return jax.tree.map(jnp.add, acc, g), parts, scaled
 
         zeros = jax.tree.map(jnp.zeros_like, params)
         grads = zeros
         parts = None
+        total = jnp.float32(0.0)
         for i in range(iter_size):
-            grads, parts = one(i, grads)
+            grads, parts, scaled = one(i, grads)
+            total = total + scaled
         new_params, new_opt_state, lr = opt.apply_updates(
             params, grads, opt_state)
         stats = dict(parts)
+        stats["loss"] = total
         stats["lr"] = lr
         return new_params, new_opt_state, stats
 
@@ -91,5 +96,5 @@ def make_pjit_train_step_accum(mesh, iter_size, axis_name="data"):
         step,
         in_shardings=(repl, repl, data, repl),
         out_shardings=(repl, repl, repl),
-        donate_argnums=(0, 1),
+        donate_argnums=(0, 1) if donate else (),
     )

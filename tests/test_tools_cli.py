@@ -115,6 +115,19 @@ def test_train_net_step_cli(cli_env):
           "--nw", "1", "--no_save"], cli_env["env"])
 
 
+def test_train_net_step_cli_iter_size(cli_env):
+    """--iter_size 2 must run the accumulating step (one update per 2
+    minibatches). MAX_ITER=3 is linearly rescaled to 1 update; the run must
+    complete, proving the accum wiring compiles and consumes 2 batches.
+    Numeric equivalence of accumulation itself is locked by
+    tests/test_train_step.py::test_grad_accumulation_matches_big_batch_direction."""
+    proc = _run(["train_net_step.py", "--cfg", cli_env["cfg"], "--bs", "1",
+                 "--nw", "1", "--iter_size", "2", "--no_save"],
+                cli_env["env"])
+    # Linear-scaling log proves iter_size entered the LR re-derivation.
+    assert "Linear scaling" in proc.stdout + proc.stderr
+
+
 def test_test_net_cli(cli_env):
     out = os.path.join(cli_env["out"], "eval")
     _run(["test_net.py", "--cfg", cli_env["cfg"], "--output_dir", out,

@@ -160,6 +160,67 @@ def test_train_step_deterministic():
         p1, p2)
 
 
+def test_affine_and_frozen_stages_do_not_train():
+    """The reference freezes every AffineChannel2d and all FREEZE_AT<=N
+    stages (requires_grad=False => excluded from the optimizer, so no LR and
+    no weight decay). After a train step: all body *_bn leaves and the
+    stem/res2 convs are bit-identical; res4 convs and head params moved."""
+    _tiny_train_cfg()
+    config.merge_cfg_from_list(["RESNETS.FREEZE_AT", "2",
+                                "SOLVER.WEIGHT_DECAY", "0.01"])
+    params = mb.init_model(jax.random.PRNGKey(0))
+    opt_state = opt.init_opt_state(params)
+    batch = _tiny_batch()
+    # Fresh lambda: jit traces are cached per function object, and cfg is
+    # baked in at trace time — reusing ts.train_step would replay a trace
+    # from an earlier test's cfg.
+    p2, _, _ = jax.jit(lambda *a: ts.train_step(*a))(
+        params, opt_state, batch, jax.random.PRNGKey(1))
+
+    def leaves_equal(a, b):
+        return all(np.array_equal(np.asarray(x), np.asarray(y))
+                   for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+    # Every affine (frozen BN) leaf in the body is untouched.
+    for stage in ("res2", "res3", "res4", "res5"):
+        for blk_old, blk_new in zip(params["body"][stage],
+                                    p2["body"][stage]):
+            for k in blk_old:
+                if k.endswith("_bn"):
+                    assert leaves_equal(blk_old[k], blk_new[k]), (stage, k)
+    assert leaves_equal(params["body"]["res_conv1_bn"],
+                        p2["body"]["res_conv1_bn"])
+    # FREEZE_AT=2: stem + res2 convs untouched (incl. no weight decay).
+    assert leaves_equal(params["body"]["conv1"], p2["body"]["conv1"])
+    assert leaves_equal(params["body"]["res2"], p2["body"]["res2"])
+    # Trainable parts moved.
+    assert not leaves_equal(params["body"]["res4"], p2["body"]["res4"])
+    assert not leaves_equal(params["box_outs"], p2["box_outs"])
+
+
+def test_gn_params_train_when_use_gn():
+    """With RESNETS.USE_GN the *_bn params are GroupNorm scale/bias: they
+    must train (above FREEZE_AT) — freezing applies only to affine."""
+    _tiny_train_cfg()
+    config.merge_cfg_from_list([
+        "RESNETS.USE_GN", "True", "RESNETS.FREEZE_AT", "2"])
+    params = mb.init_model(jax.random.PRNGKey(0))
+    opt_state = opt.init_opt_state(params)
+    batch = _tiny_batch()
+    p2, _, _ = jax.jit(lambda *a: ts.train_step(*a))(
+        params, opt_state, batch, jax.random.PRNGKey(1))
+    moved = 0
+    for blk_old, blk_new in zip(params["body"]["res4"], p2["body"]["res4"]):
+        for k in blk_old:
+            if k.endswith("_bn"):
+                for x, y in zip(jax.tree.leaves(blk_old[k]),
+                                jax.tree.leaves(blk_new[k])):
+                    if not np.array_equal(np.asarray(x), np.asarray(y)):
+                        moved += 1
+    assert moved > 0
+    config.merge_cfg_from_list(["RESNETS.USE_GN", "False"])
+
+
 def test_grad_accumulation_matches_big_batch_direction():
     """iter_size accumulation: 2 inner microbatches produce finite losses
     and an update; the accumulated grads average the inner losses (the

@@ -87,6 +87,7 @@ def main():
         elif "voc" in (args.dataset or ""):
             cfg.MODEL.NUM_CLASSES = 21
 
+    assert args.iter_size >= 1, "--iter_size must be >= 1"
     n_devices = len(jax.devices())
     original_batch_size = cfg.NUM_GPUS * cfg.TRAIN.IMS_PER_BATCH
     batch_size = args.batch_size or n_devices * cfg.TRAIN.IMS_PER_BATCH
@@ -139,7 +140,13 @@ def main():
     opt_state["step"] = jnp.asarray(start_step, jnp.int32)
 
     mesh = mesh_mod.make_mesh()
-    step_fn = ts.make_pjit_train_step(mesh, donate=False)
+    if args.iter_size > 1:
+        # Gradient accumulation: one optimizer update per iter_size
+        # minibatches (reference inner iter_size loop with loss/iter_size).
+        step_fn = ts.make_pjit_train_step_accum(
+            mesh, args.iter_size, donate=False)
+    else:
+        step_fn = ts.make_pjit_train_step(mesh, donate=False)
     loader = TrainLoader(roidb, batch_size,
                          num_threads=args.num_workers)
 
@@ -158,7 +165,14 @@ def main():
         with mesh:
             for step in range(start_step, cfg.SOLVER.MAX_ITER):
                 training_stats.IterTic()
-                batch = mesh_mod.shard_batch(mesh, next(loader))
+                if args.iter_size > 1:
+                    subs = [next(loader) for _ in range(args.iter_size)]
+                    host_batch = jax.tree.map(
+                        lambda *xs: np.stack(xs), *subs)
+                    batch = mesh_mod.shard_batch(
+                        mesh, host_batch, leading_accum=True)
+                else:
+                    batch = mesh_mod.shard_batch(mesh, next(loader))
                 params, opt_state, stats = step_fn(
                     params, opt_state, batch, jax.random.fold_in(rng, step))
                 training_stats.IterToc()
