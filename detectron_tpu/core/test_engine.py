@@ -142,6 +142,59 @@ def device_outputs_to_image_results(out, bi, im_info, num_classes):
     return cls_boxes, cls_segms, cls_keyps
 
 
+def _flagged_host_path():
+    """True when any test-time flag needs the host im_detect_all path:
+    TTA, Soft-NMS, or box voting (reference: these are always applied in
+    lib/core/test_engine.py :: test_net -> im_detect_all)."""
+    return (cfg.TEST.BBOX_AUG.ENABLED or cfg.TEST.MASK_AUG.ENABLED
+            or cfg.TEST.KPS_AUG.ENABLED or cfg.TEST.SOFT_NMS.ENABLED
+            or cfg.TEST.BBOX_VOTE.ENABLED)
+
+
+def test_net_im_detect_all(params, roidb_entries, dataset, output_dir=None):
+    """Per-image eval through core/test.py :: im_detect_all — the path that
+    honors TEST.BBOX_AUG / MASK_AUG / KPS_AUG / SOFT_NMS / BBOX_VOTE
+    (reference: lib/core/test_engine.py :: test_net routes every image
+    through im_detect_all)."""
+    import cv2
+    import jax
+
+    num_images = len(roidb_entries)
+    num_classes = cfg.MODEL.NUM_CLASSES
+    all_boxes, all_segms, all_keyps = empty_results(num_classes, num_images)
+    fns = {
+        "detect_raw": jax.jit(test_ops.detect_raw),
+        "mask_on_boxes": jax.jit(test_ops.mask_on_boxes_graph),
+        "kps_on_boxes": jax.jit(test_ops.kps_on_boxes_graph),
+    }
+    timers = defaultdict(Timer)
+    for idx, entry in enumerate(roidb_entries):
+        im = cv2.imread(entry["image"])
+        timers["im_detect_all"].tic()
+        cls_boxes, cls_segms, cls_keyps = test_ops.im_detect_all(
+            params, im, fns, timers)
+        timers["im_detect_all"].toc()
+        extend_results(idx, all_boxes, cls_boxes)
+        if cls_segms is not None:
+            extend_results(idx, all_segms, cls_segms)
+        if cls_keyps is not None:
+            extend_results(idx, all_keyps, cls_keyps)
+        if idx % 50 == 0:
+            logger.info("im_detect_all: %d/%d (%.3fs/im)", idx + 1,
+                        num_images, timers["im_detect_all"].average_time)
+
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        det_file = os.path.join(output_dir, "detections.pkl")
+        with open(det_file, "wb") as f:
+            pickle.dump(
+                dict(all_boxes=all_boxes, all_segms=all_segms,
+                     all_keyps=all_keyps, cfg=str(cfg)), f,
+                pickle.HIGHEST_PROTOCOL)
+        logger.info("Wrote detections to: %s", os.path.abspath(det_file))
+    return all_boxes, all_segms, all_keyps
+
+
 def test_net(params, roidb_entries, dataset, batch_size=8, output_dir=None,
              detect_fn=None):
     """Run detection over a list of roidb entries. Returns all_boxes/segms/
@@ -149,6 +202,10 @@ def test_net(params, roidb_entries, dataset, batch_size=8, output_dir=None,
     import cv2
     import jax
     import jax.numpy as jnp
+
+    if detect_fn is None and _flagged_host_path():
+        return test_net_im_detect_all(params, roidb_entries, dataset,
+                                      output_dir=output_dir)
 
     num_images = len(roidb_entries)
     num_classes = cfg.MODEL.NUM_CLASSES
@@ -269,8 +326,14 @@ def test_net(params, roidb_entries, dataset, batch_size=8, output_dir=None,
 
 
 def run_inference(args, dataset_name=None, output_dir=None, batch_size=8,
-                  check_expected_results=False):
-    """Top-level: build model, run test_net over the dataset, evaluate."""
+                  check_expected_results=False, ind_range=None):
+    """Top-level: build model, run test_net over the dataset, evaluate.
+
+    ind_range=(start, end): evaluate only images [start, end) and write
+    detection_range_{start}_{end}.pkl without dataset evaluation — the
+    reference's child-subprocess contract (lib/core/test_engine.py ::
+    test_net with ind_range).
+    """
     from detectron_tpu.data import task_evaluation
     from detectron_tpu.data.json_dataset import JsonDataset
 
@@ -282,6 +345,29 @@ def run_inference(args, dataset_name=None, output_dir=None, batch_size=8,
     roidb = dataset.get_roidb(gt=True, proposal_file=proposal_file,
                               proposal_limit=cfg.TEST.PROPOSAL_LIMIT)
     params = initialize_model_from_cfg(args)
+    if ind_range is not None:
+        start, end = int(ind_range[0]), int(ind_range[1])
+        assert 0 <= start < end <= len(roidb), \
+            "--range {} out of bounds for {} images".format(
+                ind_range, len(roidb))
+        sub = roidb[start:end]
+        all_boxes, all_segms, all_keyps = test_net(
+            params, sub, dataset, batch_size=batch_size, output_dir=None)
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            det_file = os.path.join(
+                output_dir,
+                "detection_range_{}_{}.pkl".format(start, end))
+            with open(det_file, "wb") as f:
+                pickle.dump(
+                    dict(all_boxes=all_boxes, all_segms=all_segms,
+                         all_keyps=all_keyps, start=start, end=end,
+                         cfg=str(cfg)), f, pickle.HIGHEST_PROTOCOL)
+            logger.info("Wrote range detections to: %s",
+                        os.path.abspath(det_file))
+        logger.info("ind_range given: skipping dataset evaluation "
+                    "(partial results; reference child-subprocess contract)")
+        return None
     all_boxes, all_segms, all_keyps = test_net(
         params, roidb, dataset, batch_size=batch_size, output_dir=output_dir)
     results = task_evaluation.evaluate_all(

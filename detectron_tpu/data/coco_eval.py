@@ -42,24 +42,23 @@ class Params:
 
 
 def _bbox_iou_xywh(d, g, iscrowd):
-    """xywh IoU; crowd gt uses detection-area denominator."""
+    """xywh IoU, vectorized (N, K); crowd gt uses detection-area
+    denominator (pycocotools maskUtils.iou bbox semantics)."""
     d = np.asarray(d, np.float64).reshape(-1, 4)
     g = np.asarray(g, np.float64).reshape(-1, 4)
-    out = np.zeros((len(d), len(g)))
-    for j, gb in enumerate(g):
-        gx1, gy1, gw, gh = gb
-        garea = gw * gh
-        for i, db in enumerate(d):
-            dx1, dy1, dw, dh = db
-            darea = dw * dh
-            ix = min(dx1 + dw, gx1 + gw) - max(dx1, gx1)
-            iy = min(dy1 + dh, gy1 + gh) - max(dy1, gy1)
-            if ix <= 0 or iy <= 0:
-                continue
-            inter = ix * iy
-            denom = darea if iscrowd[j] else darea + garea - inter
-            out[i, j] = inter / denom
-    return out
+    if len(d) == 0 or len(g) == 0:
+        return np.zeros((len(d), len(g)))
+    ix = (np.minimum(d[:, None, 0] + d[:, None, 2], g[None, :, 0] + g[None, :, 2])
+          - np.maximum(d[:, None, 0], g[None, :, 0]))
+    iy = (np.minimum(d[:, None, 1] + d[:, None, 3], g[None, :, 1] + g[None, :, 3])
+          - np.maximum(d[:, None, 1], g[None, :, 1]))
+    inter = np.maximum(ix, 0.0) * np.maximum(iy, 0.0)
+    darea = (d[:, 2] * d[:, 3])[:, None]
+    garea = (g[:, 2] * g[:, 3])[None, :]
+    crowd = np.asarray(iscrowd, bool)[None, :]
+    denom = np.where(crowd, darea, darea + garea - inter)
+    out = np.where(denom > 0, inter / np.maximum(denom, 1e-300), 0.0)
+    return np.where(inter > 0, out, 0.0)
 
 
 class COCOeval:

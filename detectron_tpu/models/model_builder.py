@@ -232,16 +232,43 @@ def roi_feature_transform(params, features, scales, rois, resolution,
     method = method or cfg.FAST_RCNN.ROI_XFORM_METHOD
     impl = impl or cfg.TPU.ROI_IMPL
     assert method in ("RoIAlign", "RoIPoolF", "RoICrop"), method
-    if method != "RoIAlign":
-        # RoIPoolF/RoICrop: lower-priority paths; RoIAlign is used by all e2e
-        # baselines. RoIPool support tracked in ops/roi_pool.py.
+    if method == "RoIPoolF":
+        # RoIAlign is used by all e2e baselines; RoIPool is the C4 legacy
+        # path (reference lib/model/roi_pooling).
         from detectron_tpu.ops import roi_pool as rp_ops
-        assert method == "RoIPoolF", "RoICrop not yet supported"
         assert len(features) == 1
         return jax.vmap(
             lambda f, r: rp_ops.roi_pool(f, r, scales[0], resolution,
                                          resolution)
         )(features[0], rois)
+    if method == "RoICrop":
+        # Spatial-transformer crop (reference lib/model/roi_crop +
+        # model_builder.roi_feature_transform RoICrop branch, incl. the 2x
+        # crop + 2x2 max-pool when cfg.CROP_RESIZE_WITH_MAX_POOL).
+        from detectron_tpu.ops import roi_crop as rc_ops
+        mp = cfg.CROP_RESIZE_WITH_MAX_POOL
+        if len(features) == 1:
+            return jax.vmap(
+                lambda f, r: rc_ops.roi_crop(f, r, scales[0], resolution,
+                                             resolution, max_pool=mp)
+            )(features[0], rois)
+        # FPN: crop on every level, then select each RoI's assigned level
+        # (rare path; L x compute is acceptable vs plumbing a gather).
+        lo = fpn_mod.lowest_backbone_lvl()
+        k_min, k_max = cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL
+        roi_feats = features[k_min - lo: k_max - lo + 1]
+        roi_scales = tuple(scales[k_min - lo: k_max - lo + 1])
+
+        def one_image_crop(per_level_feats, r):
+            lvls = fpn_mod.map_rois_to_fpn_levels(r, k_min, k_max)
+            outs = jnp.stack([
+                rc_ops.roi_crop(f, r, s, resolution, resolution, max_pool=mp)
+                for f, s in zip(per_level_feats, roi_scales)])  # (L,R,P,P,C)
+            sel = (lvls - k_min).astype(jnp.int32)
+            return jnp.take_along_axis(
+                outs, sel[None, :, None, None, None], axis=0)[0]
+
+        return jax.vmap(one_image_crop, in_axes=(0, 0))(roi_feats, rois)
 
     if len(features) == 1:
         return ra_ops.roi_align_batched(

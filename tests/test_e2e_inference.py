@@ -239,6 +239,73 @@ def test_device_graph_matches_host_path(synthetic_dataset):
                                atol=0.05)
 
 
+def test_engine_routes_flags_through_im_detect_all(synthetic_dataset,
+                                                   tmp_path):
+    """TEST.SOFT_NMS (and TTA/vote) flags must change tools/test_net.py
+    output: test_net dispatches to the per-image im_detect_all path when any
+    flag is set (reference: lib/core/test_engine.py :: test_net ->
+    im_detect_all always)."""
+    _tiny_infer_cfg(mask_on=False)
+
+    from detectron_tpu.core import test_engine
+    from detectron_tpu.data import task_evaluation
+    from detectron_tpu.data.json_dataset import JsonDataset
+
+    ds = JsonDataset("coco_2017_val")
+    roidb = ds.get_roidb(gt=True)
+    params = test_engine.initialize_model_from_cfg()
+
+    plain = test_engine.test_net(params, roidb, ds, batch_size=2)
+
+    config.merge_cfg_from_list([
+        "TEST.SOFT_NMS.ENABLED", "True",
+        "TEST.SOFT_NMS.METHOD", "gaussian",
+        "TEST.SOFT_NMS.SIGMA", "0.5",
+    ])
+    out_dir = str(tmp_path / "soft_out")
+    soft = test_engine.test_net(params, roidb, ds, batch_size=2,
+                                output_dir=out_dir)
+    config.merge_cfg_from_list(["TEST.SOFT_NMS.ENABLED", "False"])
+
+    assert os.path.exists(os.path.join(out_dir, "detections.pkl"))
+    # Soft-NMS decays rather than kills overlaps: same images, different
+    # per-class score sets.
+    def _all_scores(all_boxes):
+        out = [im_b[:, -1] for j in range(1, 4) for im_b in all_boxes[j]
+               if len(im_b)]
+        return np.sort(np.concatenate(out or [np.zeros(1)]))
+
+    plain_scores = _all_scores(plain[0])
+    soft_scores = _all_scores(soft[0])
+    assert (plain_scores.shape != soft_scores.shape
+            or not np.allclose(plain_scores, soft_scores))
+    # And the results still evaluate end-to-end.
+    results = task_evaluation.evaluate_all(
+        ds, soft[0], soft[1], soft[2], out_dir)
+    assert "box" in results["coco_2017_val"]
+
+
+def test_run_inference_ind_range(synthetic_dataset, tmp_path):
+    """--range [start end): evaluates the subrange only, writes
+    detection_range_{s}_{e}.pkl, skips dataset evaluation."""
+    import pickle
+
+    _tiny_infer_cfg(mask_on=False)
+    from detectron_tpu.core import test_engine
+
+    out_dir = str(tmp_path / "range_out")
+    res = test_engine.run_inference(
+        None, dataset_name="coco_2017_val", output_dir=out_dir,
+        batch_size=2, ind_range=(1, 3))
+    assert res is None
+    pkl = os.path.join(out_dir, "detection_range_1_3.pkl")
+    assert os.path.exists(pkl)
+    with open(pkl, "rb") as f:
+        payload = pickle.load(f)
+    assert payload["start"] == 1 and payload["end"] == 3
+    assert len(payload["all_boxes"][1]) == 2  # only 2 of the 3 images
+
+
 def test_im_detect_all_with_bbox_aug(synthetic_dataset):
     """TTA end-to-end: hflip + one extra scale, UNION combination."""
     import cv2

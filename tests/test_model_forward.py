@@ -138,3 +138,40 @@ def test_c4_mask_rcnn_v0upshare_train_step():
                                          jax.random.PRNGKey(1))
     assert "loss_mask" in stats
     assert np.isfinite(float(stats["loss_mask"]))
+
+
+def test_roicrop_dispatch_fpn():
+    """ROI_XFORM_METHOD RoICrop is dispatchable at the model level (FPN:
+    per-level crop + level select), incl. CROP_RESIZE_WITH_MAX_POOL.
+    Reference: lib/modeling/model_builder.py :: roi_feature_transform
+    RoICrop branch."""
+    _tiny_fpn_cfg()
+    config.merge_cfg_from_list([
+        "FAST_RCNN.ROI_XFORM_METHOD", "RoICrop",
+        "CROP_RESIZE_WITH_MAX_POOL", "True",
+    ])
+    try:
+        feats, rois, valid, cls_logits, bbox_pred = _run_inference_stack()
+        assert cls_logits.shape == (1, 16, 4)
+        assert np.isfinite(np.asarray(cls_logits)).all()
+    finally:
+        config.merge_cfg_from_list([
+            "FAST_RCNN.ROI_XFORM_METHOD", "RoIAlign",
+            "CROP_RESIZE_WITH_MAX_POOL", "False",
+        ])
+
+
+def test_roicrop_dispatch_c4():
+    """RoICrop on the single-level C4 path, without the 2x max-pool."""
+    _tiny_c4_cfg()
+    config.merge_cfg_from_list([
+        "FAST_RCNN.ROI_XFORM_METHOD", "RoICrop",
+        "CROP_RESIZE_WITH_MAX_POOL", "False",
+    ])
+    try:
+        feats, rois, valid, cls_logits, bbox_pred = _run_inference_stack()
+        assert cls_logits.shape == (1, 8, 4)
+        assert np.isfinite(np.asarray(cls_logits)).all()
+    finally:
+        config.merge_cfg_from_list([
+            "FAST_RCNN.ROI_XFORM_METHOD", "RoIAlign"])

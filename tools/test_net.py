@@ -67,7 +67,8 @@ def main():
     results = test_engine.run_inference(
         args, dataset_name=dataset_name, output_dir=output_dir,
         batch_size=args.batch_size,
-        check_expected_results=bool(cfg.EXPECTED_RESULTS))
+        check_expected_results=bool(cfg.EXPECTED_RESULTS),
+        ind_range=args.range)
     logger.info("Results: %s", results)
 
 
