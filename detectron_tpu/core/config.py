@@ -330,6 +330,10 @@ __C.TPU.GT_MASK_SIZE = 112
 # Pad per-image proposals to this many RoIs at inference (post-NMS cap).
 # -1 => use TEST.RPN_POST_NMS_TOP_N.
 __C.TPU.TEST_ROIS_PER_IM = -1
+# Static per-image cap on precomputed proposals fed to TRAINING in Fast
+# R-CNN mode (TRAIN.PROPOSAL_FILES, RPN off). The loader pads/truncates the
+# entry's proposal boxes to this many.
+__C.TPU.MAX_TRAIN_PROPOSALS = 1000
 # RoI chunk size for RoIAlign / head evaluation (bounds the per-chunk
 # gather/matmul intermediates; see ops/multilevel_roi.py).
 __C.TPU.ROI_CHUNK = 128

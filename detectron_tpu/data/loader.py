@@ -63,6 +63,14 @@ def make_minibatch(entries, rng):
     if cfg.MODEL.KEYPOINTS_ON:
         nk = cfg.KRCNN.NUM_KEYPOINTS
         gt_keypoints = np.zeros((B, G, nk, 3), np.float32)
+    # Fast R-CNN mode (RPN off, TRAIN.PROPOSAL_FILES): feed the entry's
+    # precomputed proposals (reference: lib/roi_data/minibatch.py ::
+    # get_minibatch non-RPN branch).
+    use_prop = not cfg.RPN.RPN_ON
+    if use_prop:
+        Rp = cfg.TPU.MAX_TRAIN_PROPOSALS
+        proposals = np.zeros((B, Rp, 4), np.float32)
+        prop_valid = np.zeros((B, Rp), bool)
 
     for i, entry in enumerate(entries):
         im = load_image(entry)
@@ -81,6 +89,14 @@ def make_minibatch(entries, rng):
         nc = len(crowd_inds)
         crowd_boxes[i, :nc] = entry["boxes"][crowd_inds] * scale
         crowd_valid[i, :nc] = True
+
+        if use_prop:
+            # Proposals are the entry boxes with gt_classes == 0 (merged
+            # from the proposal file by json_dataset).
+            p_inds = np.where(entry["gt_classes"] == 0)[0][:Rp]
+            npr = len(p_inds)
+            proposals[i, :npr] = entry["boxes"][p_inds] * scale
+            prop_valid[i, :npr] = True
 
         if cfg.MODEL.MASK_ON:
             for j, gi in enumerate(gt_inds):
@@ -118,6 +134,9 @@ def make_minibatch(entries, rng):
         batch["gt_masks"] = gt_masks
     if cfg.MODEL.KEYPOINTS_ON:
         batch["gt_keypoints"] = gt_keypoints
+    if use_prop:
+        batch["proposals"] = proposals
+        batch["prop_valid"] = prop_valid
     return batch
 
 

@@ -71,7 +71,8 @@ def init_model(rng):
 
     if spec.is_fpn:
         params["fpn"] = fpn_mod.init_fpn(keys[1])
-        params["rpn"] = rpn_mod.init_fpn_rpn(keys[2], cfg.FPN.DIM)
+        if cfg.RPN.RPN_ON:
+            params["rpn"] = rpn_mod.init_fpn_rpn(keys[2], cfg.FPN.DIM)
         box_roi_res = cfg.FAST_RCNN.ROI_XFORM_RESOLUTION
         head_name = cfg.FAST_RCNN.ROI_BOX_HEAD
         if "roi_2mlp_head" in head_name:
@@ -86,8 +87,9 @@ def init_model(rng):
         else:
             raise ValueError("Unsupported ROI_BOX_HEAD: " + head_name)
     else:
-        params["rpn"] = rpn_mod.init_single_scale_rpn(
-            keys[2], spec.body_feat_dim)
+        if cfg.RPN.RPN_ON:
+            params["rpn"] = rpn_mod.init_single_scale_rpn(
+                keys[2], spec.body_feat_dim)
         # C4: box head IS res5 (ResNet.ResNet_roi_conv5_head)
         assert "ResNet_roi_conv5_head" in cfg.FAST_RCNN.ROI_BOX_HEAD or \
             cfg.FAST_RCNN.ROI_BOX_HEAD == "", \

@@ -60,31 +60,42 @@ def training_losses(params, batch, rng):
     B = images.shape[0]
 
     features, scales = mb.forward_features(params, images)
-    rpn_outs = mb.forward_rpn(params, features)
-
-    # ---------------- RPN losses ----------------
-    anchors, rpn_logits, rpn_deltas = _all_anchors(rpn_outs)
     rngs = jax.random.split(rng, B + 2)
-    anchor_rngs = rngs[:B]
-    tgt = jax.vmap(
-        lambda gt, gv, info, r: T.rpn_targets_one_image(
-            anchors, gt, gv, info[:2], r)
-    )(batch["gt_boxes"], batch["gt_valid"], im_info, anchor_rngs)
 
-    loss_rpn_cls, loss_rpn_bbox = L.rpn_losses(
-        rpn_logits.reshape(-1),
-        rpn_deltas.reshape(-1, 4),
-        tgt["labels"].reshape(-1),
-        tgt["bbox_targets"].reshape(-1, 4),
-        tgt["fg"].reshape(-1),
-    )
+    out_rpn = {}
+    if cfg.RPN.RPN_ON:
+        rpn_outs = mb.forward_rpn(params, features)
 
-    # ---------------- Proposals + RoI sampling ----------------
-    rois, _, prop_valid = mb.generate_proposals(
-        rpn_outs, features, im_info, training=True)
-    # Do not backprop into the RPN through the proposal boxes (the reference's
-    # proposals are host numpy, hence implicitly detached).
-    rois = jax.lax.stop_gradient(rois)
+        # ---------------- RPN losses ----------------
+        anchors, rpn_logits, rpn_deltas = _all_anchors(rpn_outs)
+        anchor_rngs = rngs[:B]
+        tgt = jax.vmap(
+            lambda gt, gv, info, r: T.rpn_targets_one_image(
+                anchors, gt, gv, info[:2], r)
+        )(batch["gt_boxes"], batch["gt_valid"], im_info, anchor_rngs)
+
+        loss_rpn_cls, loss_rpn_bbox = L.rpn_losses(
+            rpn_logits.reshape(-1),
+            rpn_deltas.reshape(-1, 4),
+            tgt["labels"].reshape(-1),
+            tgt["bbox_targets"].reshape(-1, 4),
+            tgt["fg"].reshape(-1),
+        )
+        out_rpn = {"loss_rpn_cls": loss_rpn_cls,
+                   "loss_rpn_bbox": loss_rpn_bbox}
+
+        # ---------------- Proposals + RoI sampling ----------------
+        rois, _, prop_valid = mb.generate_proposals(
+            rpn_outs, features, im_info, training=True)
+        # Do not backprop into the RPN through the proposal boxes (the
+        # reference's proposals are host numpy, hence implicitly detached).
+        rois = jax.lax.stop_gradient(rois)
+    else:
+        # Fast R-CNN mode: precomputed proposals from TRAIN.PROPOSAL_FILES
+        # (reference: lib/roi_data/minibatch.py non-RPN branch; no RPN
+        # losses).
+        rois = batch["proposals"]
+        prop_valid = batch["prop_valid"]
 
     roi_rngs = jax.random.split(rngs[B], B)
     sampled = jax.vmap(T.sample_rois_one_image)(
@@ -105,13 +116,12 @@ def training_losses(params, batch, rng):
         sampled["fg"].reshape(-1),
     )
 
-    out = {
-        "loss_rpn_cls": loss_rpn_cls,
-        "loss_rpn_bbox": loss_rpn_bbox,
+    out = dict(out_rpn)
+    out.update({
         "loss_cls": loss_cls,
         "loss_bbox": loss_bbox,
         "accuracy_cls": acc,
-    }
+    })
 
     # ---------------- Mask branch ----------------
     fg_cap = int(round(cfg.TRAIN.FG_FRACTION * cfg.TRAIN.BATCH_SIZE_PER_IM))

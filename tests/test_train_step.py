@@ -238,3 +238,52 @@ def test_grad_accumulation_matches_big_batch_direction():
     for k, v in stats.items():
         assert np.isfinite(np.asarray(v)).all(), k
     assert int(np.asarray(o2["step"])) == 1
+
+
+def test_fast_rcnn_mode_training_from_proposals():
+    """Fast R-CNN mode (TRAIN.PROPOSAL_FILES, RPN off): trains from
+    precomputed proposals — no RPN params, no RPN losses, loss decreases on
+    a fixed batch (reference: lib/roi_data/minibatch.py non-RPN branch)."""
+    _tiny_train_cfg()
+    config.merge_cfg_from_list([
+        "MODEL.FASTER_RCNN", "False",
+        "TPU.MAX_TRAIN_PROPOSALS", "32",
+        "SOLVER.BASE_LR", "0.0005",
+        "SOLVER.WARM_UP_ITERS", "0",
+        "SOLVER.STEPS", "[0]",
+    ])
+    cfg.RPN.RPN_ON = False
+    try:
+        params = mb.init_model(jax.random.PRNGKey(0))
+        assert "rpn" not in params
+        opt_state = opt.init_opt_state(params)
+        batch = _tiny_batch()
+        R = 32
+        props = np.zeros((2, R, 4), np.float32)
+        rng0 = np.random.RandomState(3)
+        # proposals: jittered copies of the two gt boxes + random negatives
+        base = np.array([[4, 4, 30, 30], [20, 20, 60, 60]], np.float32)
+        for b in range(2):
+            for r in range(R):
+                if r < 16:
+                    props[b, r] = base[r % 2] + rng0.uniform(-3, 3, 4)
+                else:
+                    x1, y1 = rng0.uniform(0, 40, 2)
+                    props[b, r] = [x1, y1, x1 + rng0.uniform(5, 20),
+                                   y1 + rng0.uniform(5, 20)]
+        batch["proposals"] = jnp.asarray(np.clip(props, 0, 63))
+        batch["prop_valid"] = jnp.ones((2, R), bool)
+
+        step = jax.jit(lambda *a: ts.train_step(*a))
+        losses = []
+        for i in range(6):
+            params, opt_state, stats = step(
+                params, opt_state, batch,
+                jax.random.fold_in(jax.random.PRNGKey(7), i))
+            assert "loss_rpn_cls" not in stats
+            assert np.isfinite(float(stats["loss"]))
+            losses.append(float(stats["loss_cls"]))
+        assert losses[-1] < losses[0], losses
+    finally:
+        config.merge_cfg_from_list(["MODEL.FASTER_RCNN", "True"])
+        cfg.RPN.RPN_ON = True
