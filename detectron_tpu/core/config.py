@@ -347,10 +347,12 @@ __C.TPU.NMS_IMPL = "pallas"
 # trades ~30% more FLOPs for O(stage) activation memory; enables big-batch /
 # X-152 multi-scale training on 16 GB chips.
 __C.TPU.REMAT_BODY = False
-# Window size (feature cells) for the windowed implementation. 40 covers
-# every RoI the FPN level assignment can produce at <=1333px inputs except
-# extreme aspect ratios, which clamp.
-__C.TPU.ROI_WINDOW = 40
+# Window size (feature cells) for the windowed/pallas RoIAlign below the
+# top FPN level. 32 is exact for every unclamped level at the default
+# canonical scale/level (extent < 28 cells + borders); RoIs clamped to the
+# top level are handled exactly by dense whole-level interpolation (the
+# hybrid path in ops/windowed_roi.py), so no RoI ever clamps its samples.
+__C.TPU.ROI_WINDOW = 32
 
 # ---------------------------------------------------------------------------
 # Misc

@@ -290,20 +290,24 @@ def roi_feature_transform(params, features, scales, rois, resolution,
 
         from detectron_tpu.ops import windowed_roi as win_ops
 
-        return win_ops.multilevel_roi_align_pallas(
-            roi_feats, roi_scales, rois, resolution, sampling_ratio,
+        # Hybrid: Pallas window-DMA kernel below the top level + dense exact
+        # top level (no sample clamping for oversize RoIs). Trainable via
+        # custom_vjp (exact linear-transpose backward).
+        return win_ops.multilevel_roi_align_pallas_hybrid(
+            roi_feats, tuple(roi_scales), rois, resolution, sampling_ratio,
             k_min, k_max,
             canonical_scale=cfg.FPN.ROI_CANONICAL_SCALE,
             canonical_level=cfg.FPN.ROI_CANONICAL_LEVEL,
             window=cfg.TPU.ROI_WINDOW,
             rois_per_step=8,
-            interpret=_jax.default_backend() == "cpu")
+            interpret=_jax.default_backend() == "cpu",
+            trainable=True)
 
     if impl == "windowed":
         from detectron_tpu.ops import windowed_roi as win_ops
 
         def one_image(per_level_feats, r):
-            return win_ops.multilevel_roi_align_windowed(
+            return win_ops.multilevel_roi_align_hybrid(
                 per_level_feats, roi_scales, r, resolution, sampling_ratio,
                 k_min, k_max,
                 canonical_scale=cfg.FPN.ROI_CANONICAL_SCALE,

@@ -105,7 +105,7 @@ def training_losses(params, batch, rng):
 
     # ---------------- Box head ----------------
     cls_logits, bbox_pred, _ = mb.forward_box_outputs(
-        params, features, scales, sampled["rois"], impl="windowed")
+        params, features, scales, sampled["rois"])
     S = sampled["rois"].shape[1]
     loss_cls, loss_bbox, acc = L.fast_rcnn_losses(
         cls_logits.reshape(B * S, -1),
@@ -132,7 +132,7 @@ def training_losses(params, batch, rng):
         roi_feat = mb.roi_feature_transform(
             params, features, scales, mask_rois,
             cfg.MRCNN.ROI_XFORM_RESOLUTION, cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO,
-            method=cfg.MRCNN.ROI_XFORM_METHOD, impl="windowed")
+            method=cfg.MRCNN.ROI_XFORM_METHOD)
         flat = roi_feat.reshape((B * fg_cap,) + roi_feat.shape[2:])
         mh = mask_rcnn_heads.apply_mask_head(
             params["mask_head"], flat,
@@ -158,7 +158,7 @@ def training_losses(params, batch, rng):
         roi_feat = mb.roi_feature_transform(
             params, features, scales, kps_rois,
             cfg.KRCNN.ROI_XFORM_RESOLUTION, cfg.KRCNN.ROI_XFORM_SAMPLING_RATIO,
-            method=cfg.KRCNN.ROI_XFORM_METHOD, impl="windowed")
+            method=cfg.KRCNN.ROI_XFORM_METHOD)
         flat = roi_feat.reshape((B * fg_cap,) + roi_feat.shape[2:])
         kh = keypoint_rcnn_heads.apply_pose_head(params["kps_head"], flat)
         klogits = keypoint_rcnn_heads.apply_keypoint_outputs(

@@ -17,12 +17,13 @@ middle path that fits the hardware:
    per-RoI interpolation weight matrices (exactly as ops/roi_align.py), all
    inside the window.
 
-Exactness: identical to Detectron RoIAlign whenever the RoI's feature extent
-fits the window (true by construction of FPN level assignment: extent is
-~[14, 28) cells for unclamped levels; WIN=40 also covers the P5-clamped
-whole-image case at 1333px). Larger extents (extreme aspect ratios) clamp
-sample coordinates to the window edge — a bounded approximation on <0.1% of
-RoIs. Set WIN higher for exactness at more memory.
+Exactness: the raw windowed paths are identical to Detectron RoIAlign
+whenever the RoI's feature extent fits the window (true by construction of
+FPN level assignment for UNCLAMPED levels: extent is ~[14, 28) cells).
+RoIs clamped up to the top level have unbounded extent; the *_hybrid entry
+points (the production dispatch) compute those exactly via dense whole-level
+interpolation on the (tiny) top map and select per RoI — no RoI ever clamps
+its samples.
 """
 
 import functools
@@ -263,3 +264,221 @@ def multilevel_roi_align_pallas(pyramid, scales, rois, pooled,
                              pooled, rois_per_step=rois_per_step,
                              interpret=interpret)
     return out[:N].reshape(B, R, pooled, pooled, C)
+
+
+# ---------------------------------------------------------------------------
+# Trainable Pallas path: Pallas forward + exact linear-transpose backward
+# ---------------------------------------------------------------------------
+
+def _pallas_window_params_batched(pyramid_shapes, scales, rois, pooled,
+                                  sampling_ratio, k_min, k_max,
+                                  canonical_scale, canonical_level, window,
+                                  dtype, Wc):
+    """Shared param computation for the trainable path. pyramid_shapes:
+    list of (H_l, W_l)."""
+    window_y = window
+    window_x = window + 8
+    heights = jnp.asarray([d[0] for d in pyramid_shapes], jnp.float32)
+    widths = jnp.asarray([d[1] for d in pyramid_shapes], jnp.float32)
+    pad_rows_l = [max(d[0], window_y) for d in pyramid_shapes]
+    row_off = jnp.asarray(
+        [sum(pad_rows_l[:i]) for i in range(len(pyramid_shapes))],
+        jnp.float32)
+    pad_rows = jnp.asarray(pad_rows_l, jnp.float32)
+
+    def params_one(r):
+        return window_params(
+            r, scales, heights, widths, row_off, pad_rows, Wc, pooled,
+            sampling_ratio, k_min, k_max, canonical_scale, canonical_level,
+            window_y, window_x, dtype, align_x=8)
+
+    B, R = rois.shape[:2]
+    start_y, start_x, vy, vx = jax.vmap(params_one)(rois)
+    img_idx = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, R))
+    starts = jnp.stack(
+        [img_idx, start_y, start_x], axis=-1).reshape(B * R, 3)
+    return (starts, vy.reshape(B * R, pooled, window_y),
+            vx.reshape(B * R, pooled, window_x))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5, 6, 7, 8, 9,
+                                                    10, 11))
+def multilevel_roi_align_pallas_trainable(
+        pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
+        canonical_scale, canonical_level, window, rois_per_step, interpret):
+    """Differentiable (w.r.t. pyramid) Pallas RoIAlign: forward is the async-
+    DMA kernel; backward is the exact linear transpose of the window gather +
+    interpolation matmuls (XLA lowers the gather transpose to a fused
+    scatter-add). RoIs get zero cotangent (proposals are detached, as in the
+    reference where proposals are host numpy)."""
+    return multilevel_roi_align_pallas(
+        pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
+        canonical_scale=canonical_scale, canonical_level=canonical_level,
+        window=window, rois_per_step=rois_per_step, interpret=interpret)
+
+
+def _pallas_trainable_fwd(pyramid, scales, rois, pooled, sampling_ratio,
+                          k_min, k_max, canonical_scale, canonical_level,
+                          window, rois_per_step, interpret):
+    out = multilevel_roi_align_pallas(
+        pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
+        canonical_scale=canonical_scale, canonical_level=canonical_level,
+        window=window, rois_per_step=rois_per_step, interpret=interpret)
+    shapes = tuple((f.shape[1], f.shape[2]) for f in pyramid)
+    pyr_struct = jax.tree.map(
+        lambda f: jax.ShapeDtypeStruct(f.shape, f.dtype), list(pyramid))
+    return out, (rois, shapes, pyr_struct)
+
+
+def _pallas_trainable_bwd(scales, pooled, sampling_ratio, k_min, k_max,
+                          canonical_scale, canonical_level, window,
+                          rois_per_step, interpret, res, ct):
+    rois, shapes, pyr_struct = res
+    B, R = rois.shape[:2]
+    window_y = window
+    window_x = window + 8
+    # Canvas width must match build_canvas_batched.
+    wmax = max(w for _, w in shapes) + window_x
+    Wc = -(-wmax // 8) * 8
+    dtype = pyr_struct[0].dtype
+
+    starts, vy, vx = _pallas_window_params_batched(
+        shapes, scales, rois, pooled, sampling_ratio, k_min, k_max,
+        canonical_scale, canonical_level, window, dtype, Wc)
+
+    # d_win[n, h, w, c] = sum_{p,q} vy[n,p,h] vx[n,q,w] ct[n,p,q,c]
+    ct_f = ct.reshape(B * R, pooled, pooled, -1).astype(jnp.float32)
+    tmp = jnp.einsum("nph,npqc->nhqc", vy.astype(jnp.float32), ct_f)
+    d_win = jnp.einsum("nqw,nhqc->nhwc", vx.astype(jnp.float32), tmp)
+
+    def gather_windows(pyr):
+        canvas = build_canvas_batched(pyr, window_y, window_x)
+        C = canvas.shape[-1]
+
+        def one(s):
+            return jax.lax.dynamic_slice(
+                canvas, (s[0], s[1], s[2], jnp.int32(0)),
+                (1, window_y, window_x, C))[0]
+
+        return jax.vmap(one)(starts)
+
+    d_pyr = jax.linear_transpose(gather_windows, list(pyr_struct))(
+        d_win.astype(dtype))[0]
+    return (d_pyr, jnp.zeros_like(rois))
+
+
+multilevel_roi_align_pallas_trainable.defvjp(
+    _pallas_trainable_fwd, _pallas_trainable_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid: windowed slicing below the top level + dense exact top level.
+#
+# FPN level assignment bounds the feature extent of every UNCLAMPED RoI to
+# [s0/2^l0, 2*s0/2^l0) cells (= [14, 28) at the defaults), so a 32-cell
+# window is exact for levels k_min..k_max-1. RoIs clamped UP to k_max (huge
+# boxes / whole-image proposals) have unbounded extent — the windowed path
+# used to clamp their samples to the window edge (bounded approximation).
+# Here they are computed exactly by dense whole-level interpolation matmuls
+# on the top map (tiny: ~26x42 at 832x1344), and selected per RoI. This is
+# both the correctness fix (no clamping anywhere) and a DMA cut (32^2 vs
+# 40x48 windows; no top-level rows in the canvas).
+# ---------------------------------------------------------------------------
+
+def roi_levels(rois, k_min, k_max, canonical_scale, canonical_level):
+    """FPN eq. (1) level assignment (same math as window_params)."""
+    w = rois[..., 2] - rois[..., 0] + 1.0
+    h = rois[..., 3] - rois[..., 1] + 1.0
+    s = jnp.sqrt(jnp.maximum(w * h, 1e-12))
+    lvl = jnp.floor(
+        canonical_level + jnp.log2(s / canonical_scale + 1e-6))
+    return jnp.clip(lvl, k_min, k_max).astype(jnp.int32)
+
+
+_warned_small_window = set()
+
+
+def _warn_if_window_small(window, canonical_scale, canonical_level,
+                          sampling_ratio):
+    """Sub-top-level exactness needs window >= min_exact_window (32 at the
+    default canonical scale/level). Smaller windows (tiny test configs)
+    clamp samples at the window edge for mid-range RoIs."""
+    need = min_exact_window(canonical_scale, canonical_level, sampling_ratio)
+    if window < need and window not in _warned_small_window:
+        import logging
+        logging.getLogger(__name__).warning(
+            "ROI window %d < %d: sub-top-level RoIAlign may clamp samples "
+            "for mid-range RoIs (exact at window >= %d)", window, need, need)
+        _warned_small_window.add(window)
+
+
+def min_exact_window(canonical_scale, canonical_level, sampling_ratio):
+    """Smallest window (cells) exact for all unclamped levels: max extent
+    2*s0/2^l0, +2 bilinear border, +1 window-origin floor, rounded up."""
+    import math
+    return int(math.ceil(2.0 * canonical_scale / (2 ** canonical_level))) + 4
+
+
+def multilevel_roi_align_hybrid(pyramid, scales, rois, pooled,
+                                sampling_ratio, k_min, k_max,
+                                canonical_scale=224, canonical_level=4,
+                                window=32, chunk=256):
+    """ONE image. Exact Detectron RoIAlign for every RoI size."""
+    from detectron_tpu.ops import roi_align as ra
+
+    if len(pyramid) == 1:
+        return ra.roi_align(pyramid[0], rois, scales[0], pooled, pooled,
+                            sampling_ratio)
+    _warn_if_window_small(window, canonical_scale, canonical_level,
+                          sampling_ratio)
+    out_win = multilevel_roi_align_windowed(
+        pyramid[:-1], scales[:-1], rois, pooled, sampling_ratio,
+        k_min, k_max - 1, canonical_scale=canonical_scale,
+        canonical_level=canonical_level, window=window, chunk=chunk)
+    out_top = ra.roi_align(pyramid[-1], rois, scales[-1], pooled, pooled,
+                           sampling_ratio)
+    lvl = roi_levels(rois.astype(jnp.float32), k_min, k_max,
+                     canonical_scale, canonical_level)
+    is_top = (lvl == k_max)[:, None, None, None]
+    return jnp.where(is_top, out_top, out_win)
+
+
+def multilevel_roi_align_pallas_hybrid(pyramid, scales, rois, pooled,
+                                       sampling_ratio, k_min, k_max,
+                                       canonical_scale=224,
+                                       canonical_level=4, window=32,
+                                       rois_per_step=8, interpret=False,
+                                       trainable=False):
+    """Batched. Pallas DMA kernel for levels below the top + dense exact top
+    level + per-RoI select. With trainable=True the kernel part uses the
+    custom_vjp (linear-transpose backward); the dense part is plain
+    differentiable XLA either way."""
+    from detectron_tpu.ops import roi_align as ra
+
+    if len(pyramid) == 1:
+        return jax.vmap(
+            lambda f, r: ra.roi_align(f, r, scales[0], pooled, pooled,
+                                      sampling_ratio)
+        )(pyramid[0], rois)
+    _warn_if_window_small(window, canonical_scale, canonical_level,
+                          sampling_ratio)
+    if trainable:
+        out_win = multilevel_roi_align_pallas_trainable(
+            list(pyramid[:-1]), tuple(scales[:-1]), rois, pooled,
+            sampling_ratio, k_min, k_max - 1, canonical_scale,
+            canonical_level, window, rois_per_step, interpret)
+    else:
+        out_win = multilevel_roi_align_pallas(
+            pyramid[:-1], tuple(scales[:-1]), rois, pooled, sampling_ratio,
+            k_min, k_max - 1, canonical_scale=canonical_scale,
+            canonical_level=canonical_level, window=window,
+            rois_per_step=rois_per_step, interpret=interpret)
+    out_top = jax.vmap(
+        lambda f, r: ra.roi_align(f, r, scales[-1], pooled, pooled,
+                                  sampling_ratio)
+    )(pyramid[-1], rois)
+    lvl = roi_levels(rois.astype(jnp.float32), k_min, k_max,
+                     canonical_scale, canonical_level)
+    is_top = (lvl == k_max)[..., None, None, None]
+    return jnp.where(is_top, out_top, out_win.astype(out_top.dtype))

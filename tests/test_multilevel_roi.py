@@ -184,3 +184,89 @@ def test_roi_crop_matches_torch_grid_sample():
         ref = ref[0].numpy().transpose(1, 2, 0)
         np.testing.assert_allclose(np.asarray(out[r]), ref, rtol=1e-4,
                                    atol=1e-4)
+
+
+def test_pallas_trainable_grads_match_windowed():
+    """The custom_vjp backward of the Pallas path must equal autodiff through
+    the windowed XLA path (same interpolation math; backward is the exact
+    linear transpose of the window gather)."""
+    import jax
+    from detectron_tpu.ops import windowed_roi as win
+
+    rng = np.random.RandomState(7)
+    B = 1
+    pyramid_b = [
+        jnp.asarray(rng.randn(B, 32, 40, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(B, 16, 20, 8).astype(np.float32)),
+    ]
+    scales = (0.125, 0.0625)
+    rois = jnp.asarray(np.array([[
+        [10, 10, 60, 60],
+        [0, 0, 150, 140],
+        [4, 8, 90, 120],
+        [30, 20, 200, 180],
+    ]], np.float32))
+    ct = rng.randn(B, 4, 7, 7, 8).astype(np.float32)
+
+    def f_pallas(pyr):
+        out = win.multilevel_roi_align_pallas_trainable(
+            pyr, scales, rois, 7, 2, 2, 3, 224, 4, 24, 2, True)
+        return jnp.sum(out * ct)
+
+    def f_windowed(pyr):
+        outs = [win.multilevel_roi_align_windowed(
+            [f[b] for f in pyr], scales, rois[b], pooled=7,
+            sampling_ratio=2, k_min=2, k_max=3, window=24, chunk=4)
+            for b in range(B)]
+        return jnp.sum(jnp.stack(outs) * ct)
+
+    # Forwards agree
+    np.testing.assert_allclose(float(f_pallas(pyramid_b)),
+                               float(f_windowed(pyramid_b)), rtol=1e-5)
+    g_p = jax.grad(f_pallas)(pyramid_b)
+    g_w = jax.grad(f_windowed)(pyramid_b)
+    for a, b in zip(g_p, g_w):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_hybrid_exact_for_oversize_rois():
+    """RoIs clamped to the top FPN level (huge / extreme-aspect boxes whose
+    feature extent exceeds the window) must be EXACT: the hybrid path routes
+    them through dense whole-level interpolation instead of clamping samples
+    at the window edge."""
+    from detectron_tpu.ops import multilevel_roi as ml
+    from detectron_tpu.ops import windowed_roi as win
+
+    rng = np.random.RandomState(11)
+    pyramid = [
+        jnp.asarray(rng.randn(128, 168, 8).astype(np.float32)),  # P2 1/4
+        jnp.asarray(rng.randn(64, 84, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(32, 42, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(16, 21, 8).astype(np.float32)),    # P5 1/32
+    ]
+    scales = (0.25, 0.125, 0.0625, 0.03125)
+    rois = jnp.asarray(np.array([
+        [0, 0, 511, 511],      # whole image: extent 16 cells at P5 - but
+        [0, 0, 511, 120],      # extreme wide: sqrt area -> P5, x extent 16
+        [0, 0, 120, 511],      # extreme tall
+        [10, 10, 500, 660],    # oversize both dims
+        [20, 20, 90, 90],      # normal mid RoI
+        [4, 4, 20, 20],        # small RoI -> P2
+    ], np.float32))
+    # Exact oracle: gather-based path (point-exact for any extent).
+    ref = ml.multilevel_roi_align(
+        pyramid, scales, rois, 7, 2, 2, 5, canonical_scale=224,
+        canonical_level=4, chunk=8)
+    out = win.multilevel_roi_align_hybrid(
+        pyramid, scales, rois, 7, 2, 2, 5, canonical_scale=224,
+        canonical_level=4, window=32, chunk=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # Pallas hybrid (interpret) matches too.
+    out_p = win.multilevel_roi_align_pallas_hybrid(
+        [f[None] for f in pyramid], scales, rois[None], 7, 2, 2, 5,
+        canonical_scale=224, canonical_level=4, window=32, rois_per_step=2,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out_p)[0], np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -287,3 +287,24 @@ def test_fast_rcnn_mode_training_from_proposals():
     finally:
         config.merge_cfg_from_list(["MODEL.FASTER_RCNN", "True"])
         cfg.RPN.RPN_ON = True
+
+
+def test_train_step_with_pallas_roi_impl():
+    """Training with TPU.ROI_IMPL=pallas (kernel forward + custom_vjp
+    backward) runs end-to-end and moves the head params."""
+    _tiny_train_cfg()
+    config.merge_cfg_from_list(["TPU.ROI_IMPL", "pallas",
+                                "TPU.ROI_WINDOW", "16"])
+    try:
+        params = mb.init_model(jax.random.PRNGKey(0))
+        opt_state = opt.init_opt_state(params)
+        batch = _tiny_batch()
+        p2, _, stats = jax.jit(lambda *a: ts.train_step(*a))(
+            params, opt_state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(stats["loss"]))
+        assert not all(
+            np.array_equal(np.asarray(x), np.asarray(y))
+            for x, y in zip(jax.tree.leaves(params["box_head"]),
+                            jax.tree.leaves(p2["box_head"])))
+    finally:
+        config.merge_cfg_from_list(["TPU.ROI_IMPL", "pallas"])
