@@ -18,8 +18,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host bring-up: every process calls this BEFORE any device use,
+    then builds the same global mesh over jax.devices() (all hosts' chips).
+
+    Arguments may be None when the platform provides them (TPU pods expose
+    them via the metadata environment); explicit values support manual
+    rendezvous (e.g. `--multihost_coordinator host0:1234 --num_hosts 4
+    --host_rank $RANK` on each process). No-op for single-process runs.
+    """
+    if num_processes is not None and int(num_processes) <= 1 and \
+            coordinator_address is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=None if num_processes is None else int(num_processes),
+        process_id=None if process_id is None else int(process_id))
+
+
 def make_mesh(n_devices=None, axis_name="data"):
-    """1-D data-parallel mesh over the first n_devices devices."""
+    """1-D data-parallel mesh over the first n_devices devices (all hosts'
+    devices in a multi-host run — jax.devices() is global)."""
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
@@ -69,7 +89,16 @@ def shard_batch(mesh, batch, axis_name="data", leading_accum=False):
 
     leading_accum: the arrays carry an extra leading iter_size dim (gradient
     accumulation); shard the second dim instead.
+
+    Multi-host: each process passes its LOCAL slice of the global batch
+    (global_batch = sum of per-process batches, in process order);
+    jax.make_array_from_process_local_data assembles the global sharded
+    array without any cross-host copy of another host's data.
     """
     spec = P(None, axis_name) if leading_accum else P(axis_name)
     sh = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -47,6 +47,15 @@ def parse_args():
     parser.add_argument("--ckpt_num_per_epoch", type=int, default=3)
     parser.add_argument("--disp_interval", type=int, default=20)
     parser.add_argument("--set", dest="set_cfgs", nargs="+", default=[])
+    # Multi-host (SPMD over a pod): run one process per host with the same
+    # command + per-host rank. On TPU pods the three values are usually
+    # auto-discovered; pass --multihost alone to trigger auto-init.
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed (one process/host)")
+    parser.add_argument("--multihost_coordinator", default=None,
+                        help="coordinator address host:port (optional)")
+    parser.add_argument("--num_hosts", type=int, default=None)
+    parser.add_argument("--host_rank", type=int, default=None)
     return parser.parse_args()
 
 
@@ -74,6 +83,12 @@ def main():
     from detectron_tpu.utils.training_stats import TrainingStats
 
     args = parse_args()
+    if args.multihost or args.multihost_coordinator:
+        mesh_mod.init_distributed(args.multihost_coordinator,
+                                  args.num_hosts, args.host_rank)
+        logger.info("multi-host: process %d/%d, %d local / %d global devices",
+                    jax.process_index(), jax.process_count(),
+                    jax.local_device_count(), jax.device_count())
     if args.cfg_file:
         merge_cfg_from_file(args.cfg_file)
     if args.set_cfgs:
@@ -88,11 +103,17 @@ def main():
             cfg.MODEL.NUM_CLASSES = 21
 
     assert args.iter_size >= 1, "--iter_size must be >= 1"
-    n_devices = len(jax.devices())
+    n_devices = len(jax.devices())  # GLOBAL device count (all hosts)
+    n_procs = jax.process_count()
     original_batch_size = cfg.NUM_GPUS * cfg.TRAIN.IMS_PER_BATCH
     batch_size = args.batch_size or n_devices * cfg.TRAIN.IMS_PER_BATCH
     assert batch_size % n_devices == 0, \
         "batch size must divide the device count"
+    assert batch_size % n_procs == 0, \
+        "batch size must divide the process count"
+    # Per-host data sharding: each process loads its 1/n_procs of every
+    # global batch (shard_batch assembles them without cross-host copies).
+    local_batch_size = batch_size // n_procs
 
     # Gradual-warmup linear-scaling rule (reference train_net_step.py):
     # rescale BASE_LR / STEPS / MAX_ITER when bs != the config's schedule.
@@ -147,11 +168,17 @@ def main():
             mesh, args.iter_size, donate=False)
     else:
         step_fn = ts.make_pjit_train_step(mesh, donate=False)
-    loader = TrainLoader(roidb, batch_size,
+    # Each process draws a DIFFERENT stream (seed offset by rank): with the
+    # epoch-shuffled sampler this gives disjoint-in-expectation per-host
+    # shards, the standard pod-scale input pattern.
+    loader = TrainLoader(roidb, local_batch_size,
+                         seed=cfg.RNG_SEED + jax.process_index(),
                          num_threads=args.num_workers)
 
+    is_chief = jax.process_index() == 0
+
     tblogger = None
-    if args.use_tfboard:
+    if args.use_tfboard and is_chief:
         from tensorboardX import SummaryWriter
         tblogger = SummaryWriter(output_dir)
 
@@ -179,15 +206,15 @@ def main():
                 training_stats.UpdateIterStats(
                     jax.tree.map(np.asarray, stats), step)
                 training_stats.LogIterStats(step)
-                if (not args.no_save and step > 0
+                if (not args.no_save and is_chief and step > 0
                         and step % ckpt_interval == 0):
                     net_utils.save_ckpt(output_dir, step, params, opt_state)
-        if not args.no_save:
+        if not args.no_save and is_chief:
             net_utils.save_ckpt(
                 output_dir, cfg.SOLVER.MAX_ITER, params, opt_state)
     except (KeyboardInterrupt, Exception):
         # Reference behavior: save a final checkpoint on interrupt/crash.
-        if not args.no_save:
+        if not args.no_save and is_chief:
             net_utils.save_ckpt(
                 output_dir, int(np.asarray(opt_state["step"])), params,
                 opt_state)
