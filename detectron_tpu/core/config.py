@@ -353,6 +353,13 @@ __C.TPU.REMAT_BODY = False
 # top level are handled exactly by dense whole-level interpolation (the
 # hybrid path in ops/windowed_roi.py), so no RoI ever clamps its samples.
 __C.TPU.ROI_WINDOW = 32
+# Space-to-depth stem: compute the 7x7/s2 stem conv as the mathematically
+# identical 4x4/s1 conv on 2x2-blocked input (12 channels) — the MLPerf-era
+# TPU trick. MEASURED SLOWER here (v5e, 832x1344 batch 32: +4.6 ms vs the
+# direct conv — XLA's native C=3 conv handling already wins and the blocked
+# reshape costs an extra HBM round trip), so off by default; kept as a
+# tested, toggleable experiment (see PERF.md).
+__C.TPU.S2D_STEM = False
 
 # ---------------------------------------------------------------------------
 # Misc

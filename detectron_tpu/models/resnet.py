@@ -151,6 +151,39 @@ def init_body(rng, depth, num_stages):
     return p
 
 
+def _s2d_stem_conv(conv1_p, x):
+    """7x7/s2/p3 stem conv as an EXACT 4x4/s1 conv on 2x2 space-to-depth
+    blocked input (cfg.TPU.S2D_STEM).
+
+    Derivation: y[i,j] = sum_{a,b<7} w[a,b] x[2i+a-3, 2j+b-3]. With x
+    padded by 4 (x4[u] = x[u-4]) and blocked by 2 (x2[p,(dy)] = x4[2p+dy]),
+    the sample index 2i+a-3 = 2(i+alpha) + dy where a+1 = 2*alpha + dy — a
+    VALID 4x4 stride-1 conv over 12 = 2*2*3 channels, whose kernel is the
+    7x7 kernel zero-padded to 8x8 (one leading zero row/col) and reshaped
+    with the same (dy, dx, c) channel order as the blocked input. The image
+    conv's MXU input-channel utilization rises 4x (C=3 -> 12); the math is
+    bit-identical up to f32 accumulation order.
+    """
+    w = conv1_p["w"]  # (7, 7, 3, 64) HWIO
+    B, H, W, C = x.shape
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    O = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+    P, Q = (H + 8) // 2, (W + 8) // 2
+    x2 = xp.reshape(B, P, 2, Q, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    x2 = x2.reshape(B, P, Q, 4 * C)
+    wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8, 8, C, O)
+    w2 = wp.reshape(4, 2, 4, 2, C, O).transpose(0, 2, 1, 3, 4, 5)
+    w2 = w2.reshape(4, 4, 4 * C, O).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x2, w2, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y[:, : H // 2, : W // 2, :]
+    if "b" in conv1_p:
+        y = y + conv1_p["b"].astype(y.dtype)
+    return y
+
+
 def apply_body(p, x, num_stages, freeze_at=None):
     """Run the body; returns list of per-stage outputs [res2, ..., resN].
 
@@ -166,7 +199,10 @@ def apply_body(p, x, num_stages, freeze_at=None):
     stem_p = {"conv1": p["conv1"], "res_conv1_bn": p["res_conv1_bn"]}
     if freeze_at >= 2:
         stem_p = jax.lax.stop_gradient(stem_p)
-    h = L.conv2d(stem_p["conv1"], x, stride=2, padding=3)
+    if cfg.TPU.S2D_STEM:
+        h = _s2d_stem_conv(stem_p["conv1"], x)
+    else:
+        h = L.conv2d(stem_p["conv1"], x, stride=2, padding=3)
     h = L.relu(_norm_apply(stem_p["res_conv1_bn"], h))
     h = L.max_pool(h, window=3, stride=2, padding=((1, 1), (1, 1)))
 

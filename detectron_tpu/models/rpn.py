@@ -83,11 +83,16 @@ def proposals_prep_one_level(cls_logits, bbox_pred, anchors, im_hw,
     (boxes (k, 4) score-descending, masked_scores (k,))."""
     H, W, A = cls_logits.shape
     n = H * W * A
-    scores = jax.nn.sigmoid(cls_logits.reshape(n).astype(jnp.float32))
+    logits = cls_logits.reshape(n).astype(jnp.float32)
     deltas = bbox_pred.reshape(n, 4).astype(jnp.float32)
 
     k = min(pre_top_n, n)
-    top_scores, top_idx = jax.lax.top_k(scores, k)
+    # Select on raw logits (sigmoid is monotonic: same top-k); sigmoid only
+    # the k winners. Measured on v5e: XLA's TopK does 210k->1000 at batch 32
+    # in ~8 ms — faster than the radix-select alternative in ops/topk.py
+    # (34 ms, scatter-bound); see PERF.md.
+    top_logits, top_idx = jax.lax.top_k(logits, k)
+    top_scores = jax.nn.sigmoid(top_logits)
     boxes = box_ops.bbox_transform(anchors[top_idx], deltas[top_idx],
                                    (1.0, 1.0, 1.0, 1.0))
     boxes = box_ops.clip_boxes_to_image(boxes, im_hw[0], im_hw[1])
@@ -110,11 +115,12 @@ def proposals_one_level(cls_logits, bbox_pred, anchors, im_hw, min_size_scaled,
     """
     H, W, A = cls_logits.shape
     n = H * W * A
-    scores = jax.nn.sigmoid(cls_logits.reshape(n).astype(jnp.float32))
+    logits = cls_logits.reshape(n).astype(jnp.float32)
     deltas = bbox_pred.reshape(n // A, A, 4).reshape(n, 4).astype(jnp.float32)
 
     k = min(pre_top_n, n)
-    top_scores, top_idx = jax.lax.top_k(scores, k)
+    top_logits, top_idx = jax.lax.top_k(logits, k)
+    top_scores = jax.nn.sigmoid(top_logits)
     top_deltas = deltas[top_idx]
     top_anchors = anchors[top_idx]
 

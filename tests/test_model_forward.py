@@ -175,3 +175,24 @@ def test_roicrop_dispatch_c4():
     finally:
         config.merge_cfg_from_list([
             "FAST_RCNN.ROI_XFORM_METHOD", "RoIAlign"])
+
+
+def test_s2d_stem_conv_exact():
+    """cfg.TPU.S2D_STEM's blocked stem conv is mathematically identical to
+    the 7x7/s2/p3 conv (models/resnet.py :: _s2d_stem_conv)."""
+    import jax.numpy as jnp
+
+    from detectron_tpu.core import config
+    from detectron_tpu.models import layers as L
+    from detectron_tpu.models import resnet
+
+    config.assert_and_infer_cfg(make_immutable=False)
+    rng = np.random.RandomState(0)
+    p = {"w": jnp.asarray(rng.randn(7, 7, 3, 64).astype(np.float32) * 0.1),
+         "b": jnp.asarray(rng.randn(64).astype(np.float32))}
+    x = jnp.asarray(rng.randn(2, 64, 96, 3).astype(np.float32))
+    ref = L.conv2d(p, x, stride=2, padding=3)
+    got = resnet._s2d_stem_conv(p, x)
+    assert ref.shape == got.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
