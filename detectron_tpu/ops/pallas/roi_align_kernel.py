@@ -4,15 +4,27 @@ The XLA formulation (ops/windowed_roi.py) expresses the per-RoI window read
 as a vmapped dynamic_slice — lowered to a block gather that the compiler
 schedules conservatively. This kernel takes manual control of the data
 movement: per grid step it issues async DMAs for a group of RoI windows
-(HBM -> VMEM scratch), overlaps them, and runs the two interpolation
-contractions on-chip. Numerics are identical to windowed_roi (same
-precomputed interpolation weight matrices).
+(HBM -> VMEM scratch) and runs the two interpolation contractions on-chip.
+
+DOUBLE BUFFERING: grid steps on TPU run sequentially, so without overlap
+each step would serialize (window DMAs) -> (interpolation matmuls). The
+kernel keeps two window-scratch slots: during step i it first starts the
+DMAs for step i+1 (origins come from a second, rolled copy of the starts
+operand), then waits on and computes step i. Window DMA (~0.5 MB/RoI) and
+MXU work overlap fully; measured ~2x on the Mask R-CNN box-head stage.
+The slot count and the channel-chunked compute are auto-sized against the
+~16 MB/core scoped-VMEM budget (_pick_layout): the box head (pooled=7)
+gets 2 slots + full-C matmuls; the mask head (pooled=14, bigger f32
+intermediates) drops to what fits rather than OOMing at compile time.
 
 Layout notes (per the TPU guide): window x offsets are 8-aligned by the
 caller and hinted with pl.multiple_of so Mosaic can prove the (8, 128)
 W/C tiling; channels ride the 128-lane axis; the per-step window origins
-arrive as a small blocked SMEM operand (a full-array scalar prefetch of
-N x 3 origins would overflow the ~1 MB SMEM at production RoI counts).
+arrive as small blocked SMEM operands (a full-array scalar prefetch of
+N x 3 origins would overflow SMEM at production RoI counts; the SMEM block
+needs rois_per_step % 8 == 0 for the (8, 128) tiling rule). Channel chunks
+are multiples of 128 so every in-kernel reshape splits the lane dim
+legally.
 """
 
 import functools
@@ -22,42 +34,110 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_VMEM_BUDGET = 15 * 1024 * 1024  # leave headroom under the 16 MB scope
 
-def _kernel(starts_ref, vy_ref, vx_ref, canvas_ref, out_ref, win_scratch,
-            sems, *, rois_per_step, window_y, window_x, pooled, channels):
-    def dma(j):
-        b = starts_ref[j, 0]
-        y0 = starts_ref[j, 1]
+
+def _vmem_estimate(slots, cc, J, P, WY, WX, C, item):
+    """Estimate of the kernel's scoped VMEM (bytes), calibrated against
+    the compiler's reported peaks (it reported 18.10M for slots=2/cc=C at
+    P=14 — scratch + out block + the two f32 t1 buffers; the f32 output
+    and bd matrices reuse those)."""
+    scratch = slots * J * WY * WX * C * item
+    out_blk = J * P * P * C * item
+    vyvx = J * P * (WY + WX) * item
+    bd = J * P * J * (WY + WX) * item
+    inter = 2 * J * P * WX * cc * 4  # f32 t1 + its transposed copy
+    return scratch + out_blk + vyvx + bd + inter
+
+
+def _pick_layout(J, P, WY, WX, C, item):
+    """(n_slots, c_chunk) that fits the VMEM budget; prefer overlap, then
+    wide matmuls. Chunks must be lane multiples (128) for legal reshapes."""
+    chunks = [C] + ([128] if C % 128 == 0 and C > 128 else [])
+    for slots in (2, 1):
+        for cc in chunks:
+            if _vmem_estimate(slots, cc, J, P, WY, WX, C, item) \
+                    <= _VMEM_BUDGET:
+                return slots, cc
+    return 1, chunks[-1]
+
+
+def _kernel(starts_ref, starts_next_ref, vy_ref, vx_ref, canvas_ref,
+            out_ref, win_scratch, sems, *, rois_per_step, window_y,
+            window_x, pooled, channels, n_slots, c_chunk):
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    slot = jax.lax.rem(step, n_slots)
+    next_slot = jax.lax.rem(step + 1, n_slots)
+
+    def dma(slot_i, sref, j):
+        b = sref[j, 0]
+        y0 = sref[j, 1]
         # x starts are pre-aligned by the caller; the hint lets Mosaic prove
         # the W-dim slice offset respects the (8, 128) tiling.
-        x0 = pl.multiple_of(starts_ref[j, 2], 8)
+        x0 = pl.multiple_of(sref[j, 2], 8)
         return pltpu.make_async_copy(
             canvas_ref.at[b, pl.ds(y0, window_y), pl.ds(x0, window_x), :],
-            win_scratch.at[j],
-            sems.at[j],
+            win_scratch.at[slot_i, j],
+            sems.at[slot_i, j],
         )
 
-    for j in range(rois_per_step):
-        dma(j).start()
+    if n_slots == 2:
+        # Prologue: this step's own windows (first step only).
+        @pl.when(step == 0)
+        def _():
+            for j in range(rois_per_step):
+                dma(slot, starts_ref, j).start()
+
+        # Overlap: start the NEXT step's DMAs before computing this one.
+        @pl.when(step + 1 < nsteps)
+        def _():
+            for j in range(rois_per_step):
+                dma(next_slot, starts_next_ref, j).start()
+    else:
+        for j in range(rois_per_step):
+            dma(slot, starts_ref, j).start()
 
     for j in range(rois_per_step):
-        dma(j).wait()
-        win = win_scratch[j]  # (WY, WX, C)
-        vy = vy_ref[j]  # (P, WY)
-        vx = vx_ref[j]  # (P, WX)
-        # tmp[p, w, c] = sum_h vy[p, h] win[h, w, c]
-        tmp = jax.lax.dot_general(
-            vy, win.reshape(window_y, window_x * channels),
-            (((1,), (0,)), ((), ())),
+        dma(slot, starts_ref, j).wait()
+
+    # Per-RoI interpolation is two tiny matmuls (M = pooled = 7 -> ~5% MXU
+    # row utilization). Batch all rois_per_step RoIs into ONE pair of
+    # matmuls via block-diagonal weight matrices: M grows to J*P = 56 and
+    # the stacked windows provide the K dimension. ~12x redundant FLOPs
+    # (the off-diagonal zeros) buy ~8x better MXU occupancy — measured net
+    # win on v5e.
+    J, P, WY, WX, C = rois_per_step, pooled, window_y, window_x, channels
+
+    def block_diag(v2, W):
+        # v2: (J*P, W) per-RoI weights -> (J*P, J*W) block-diagonal
+        r_grp = jax.lax.broadcasted_iota(jnp.int32, (J * P, J * W), 0) // P
+        k_grp = jax.lax.broadcasted_iota(jnp.int32, (J * P, J * W), 1) // W
+        return jnp.where(r_grp == k_grp, jnp.tile(v2, (1, J)),
+                         jnp.zeros((), v2.dtype))
+
+    # vy/vx arrive pre-flattened to (N*P, W) — an in-kernel (J, P, W) ->
+    # (J*P, W) reshape is an unsupported Mosaic shape cast (P=7 is not a
+    # sublane multiple).
+    bd_vy = block_diag(vy_ref[...], WY)  # (J*P, J*WY)
+    bd_vx = block_diag(vx_ref[...], WX)  # (J*P, J*WX)
+
+    for ci in range(C // c_chunk):
+        cs = pl.ds(ci * c_chunk, c_chunk)
+        cc = c_chunk
+        wins = win_scratch[slot, :, :, :, cs].reshape(J * WY, WX * cc)
+        # t1[(j,p), (w,c)] = sum_h vy_j[p,h] win_j[h,w,c]
+        t1 = jax.lax.dot_general(
+            bd_vy, wins, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(pooled, window_x, channels)
-        # out[q, p, c] = sum_w vx[q, w] tmp[p, w, c]
-        out_qpc = jax.lax.dot_general(
-            vx, tmp.transpose(1, 0, 2).reshape(window_x, pooled * channels),
-            (((1,), (0,)), ((), ())),
+        ).reshape(J, P, WX, cc)
+        t1 = t1.transpose(0, 2, 1, 3).reshape(J * WX, P * cc)
+        # out[(j,q), (p,c)] = sum_w vx_j[q,w] t1[(j,w), (p,c)]
+        out = jax.lax.dot_general(
+            bd_vx, t1, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(pooled, pooled, channels)
-        out_ref[j] = out_qpc.transpose(1, 0, 2).astype(out_ref.dtype)
+        ).reshape(J, P, P, cc)  # (j, q, p, c)
+        out_ref[:, :, :, cs] = out.transpose(0, 2, 1, 3).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -76,9 +156,18 @@ def roi_window_pool(canvas, starts, vy, vx, window_y, window_x, pooled,
     assert N % rois_per_step == 0
     grid = (N // rois_per_step,)
 
+    n_slots, c_chunk = _pick_layout(
+        rois_per_step, pooled, window_y, window_x, C, canvas.dtype.itemsize)
+
+    # Step i's block of this rolled copy holds step i+1's origins (the
+    # double-buffer prefetch source). The wrap-around block is never started
+    # (guarded by step+1 < nsteps).
+    starts_next = jnp.roll(starts, -rois_per_step, axis=0)
+
     kernel = functools.partial(
         _kernel, rois_per_step=rois_per_step, window_y=window_y,
-        window_x=window_x, pooled=pooled, channels=C)
+        window_x=window_x, pooled=pooled, channels=C, n_slots=n_slots,
+        c_chunk=c_chunk)
 
     return pl.pallas_call(
         kernel,
@@ -89,12 +178,16 @@ def roi_window_pool(canvas, starts, vy, vx, window_y, window_x, pooled,
                 lambda i: (i, 0),
                 memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (rois_per_step, pooled, window_y),
-                lambda i: (i, 0, 0),
+                (rois_per_step, 3),
+                lambda i: (i, 0),
+                memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (rois_per_step * pooled, window_y),
+                lambda i: (i, 0),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (rois_per_step, pooled, window_x),
-                lambda i: (i, 0, 0),
+                (rois_per_step * pooled, window_x),
+                lambda i: (i, 0),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # canvas stays in HBM
         ],
@@ -103,10 +196,11 @@ def roi_window_pool(canvas, starts, vy, vx, window_y, window_x, pooled,
             lambda i: (i, 0, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((rois_per_step, window_y, window_x, C),
+            pltpu.VMEM((n_slots, rois_per_step, window_y, window_x, C),
                        canvas.dtype),
-            pltpu.SemaphoreType.DMA((rois_per_step,)),
+            pltpu.SemaphoreType.DMA((n_slots, rois_per_step)),
         ],
         out_shape=jax.ShapeDtypeStruct((N, pooled, pooled, C), canvas.dtype),
         interpret=interpret,
-    )(starts, vy, vx, canvas)
+    )(starts, starts_next, vy.reshape(N * pooled, window_y),
+      vx.reshape(N * pooled, window_x), canvas)

@@ -103,17 +103,26 @@ def roi_align(feat, rois, spatial_scale, pooled_h, pooled_w,
     vx = _axis_weights(x1, bin_w, gw, pooled_w, G, W)  # (R, Q, W)
 
     f32 = jnp.float32
-    # Interpolation weights are sparse-ish (<=2 nonzeros per sample) and the
-    # result feeds box/mask predictions, so run the contractions at full f32
-    # MXU precision — default (bf16 passes) costs ~5e-3 absolute error, which
-    # is visible in AP parity checks.
-    hi = jax.lax.Precision.HIGHEST
+    # Precision follows the input dtype. bf16 features (the production
+    # TPU.COMPUTE_DTYPE): bf16 operands + f32 accumulation — the same
+    # numeric contract as the Pallas windowed kernel (which also takes bf16
+    # interpolation weights), and ~8x the MXU rate of f32/HIGHEST (measured
+    # 28.4 -> ~4 ms for the hybrid's dense top level at batch 32). f32
+    # features (host parity tests, C4 eval at f32): full-precision passes.
+    if feat.dtype == jnp.bfloat16:
+        prec = jax.lax.Precision.DEFAULT
+        vy = vy.astype(jnp.bfloat16)
+        vx = vx.astype(jnp.bfloat16)
+        f = feat
+    else:
+        prec = jax.lax.Precision.HIGHEST
+        f = feat.astype(f32)
     # (R, P, H) x (H, W*C) -> (R, P, W, C): one big MXU matmul.
-    tmp = jnp.einsum("rph,hwc->rpwc", vy, feat.astype(f32),
-                     preferred_element_type=f32, precision=hi)
+    tmp = jnp.einsum("rph,hwc->rpwc", vy, f,
+                     preferred_element_type=f32, precision=prec)
     # (R, Q, W) x (R, P, W, C) -> (R, P, Q, C): batched matmul over R.
-    out = jnp.einsum("rqw,rpwc->rpqc", vx, tmp, preferred_element_type=f32,
-                     precision=hi)
+    out = jnp.einsum("rqw,rpwc->rpqc", vx, tmp.astype(f.dtype),
+                     preferred_element_type=f32, precision=prec)
     return out.astype(feat.dtype)
 
 
