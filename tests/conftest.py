@@ -15,8 +15,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
-# Persistent compilation cache makes repeat test runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# Persistent compilation cache makes repeat test runs fast. Tests get their
+# OWN cache dir: sharing /tmp/jax_cache with a concurrently-running TPU
+# benchmark process produced intermittent native aborts (cache write race).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
