@@ -12,10 +12,11 @@ kernel keeps two window-scratch slots: during step i it first starts the
 DMAs for step i+1 (origins come from a second, rolled copy of the starts
 operand), then waits on and computes step i. Window DMA (~0.5 MB/RoI) and
 MXU work overlap fully; measured ~2x on the Mask R-CNN box-head stage.
-The slot count and the channel-chunked compute are auto-sized against the
-~16 MB/core scoped-VMEM budget (_pick_layout): the box head (pooled=7)
-gets 2 slots + full-C matmuls; the mask head (pooled=14, bigger f32
-intermediates) drops to what fits rather than OOMing at compile time.
+The layout (slot count, channel chunking, compute subgroups) is auto-sized
+against the ~16 MB/core scoped-VMEM budget (_pick_layout): the box head
+(pooled=7) gets 2 slots + one full-C/full-J matmul pair; the mask head
+(pooled=14, 4x the f32 intermediates) splits the compute into subgroups
+of J/2 RoIs to keep 2 slots rather than losing the DMA overlap.
 
 Layout notes (per the TPU guide): window x offsets are 8-aligned by the
 caller and hinted with pl.multiple_of so Mosaic can prove the (8, 128)
@@ -28,43 +29,55 @@ legally.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 15 * 1024 * 1024  # leave headroom under the 16 MB scope
+_VMEM_BUDGET = int(15.7 * 1024 * 1024)  # headroom under the 16 MB scope
 
 
-def _vmem_estimate(slots, cc, J, P, WY, WX, C, item):
+def _vmem_estimate(slots, cc, sub, J, P, WY, WX, C, item):
     """Estimate of the kernel's scoped VMEM (bytes), calibrated against
-    the compiler's reported peaks (it reported 18.10M for slots=2/cc=C at
-    P=14 — scratch + out block + the two f32 t1 buffers; the f32 output
-    and bd matrices reuse those)."""
+    compiler-reported peaks: 18.10M for (2, C, 1) at P=14 (raw sum 20.0M,
+    ratio 0.90), 16.93M for (2, 128, 1) at P=14 (raw 15.7M — the unrolled
+    c-chunk loop keeps ~1.5x the single-iteration f32 intermediates
+    alive, ratio 1.08). (2, C, 1) at P=7 (raw 15.7M) compiles. So: raw
+    sum, with a 1.5x multiplier on the intermediates whenever the compute
+    is unrolled (channel chunks or subgroups)."""
     scratch = slots * J * WY * WX * C * item
     out_blk = J * P * P * C * item
-    vyvx = J * P * (WY + WX) * item
-    bd = J * P * J * (WY + WX) * item
-    inter = 2 * J * P * WX * cc * 4  # f32 t1 + its transposed copy
-    return scratch + out_blk + vyvx + bd + inter
+    Js = J // sub
+    inter = 2 * Js * P * WX * cc * 4  # f32 t1 + its transposed copy
+    if cc < C or sub > 1:
+        inter = int(1.5 * inter)
+    return scratch + out_blk + inter
 
 
 def _pick_layout(J, P, WY, WX, C, item):
-    """(n_slots, c_chunk) that fits the VMEM budget; prefer overlap, then
-    wide matmuls. Chunks must be lane multiples (128) for legal reshapes."""
+    """(n_slots, c_chunk, subgroups) fitting the VMEM budget; prefer DMA
+    overlap (2 slots), then wide matmuls (full C, one subgroup). Chunks
+    are lane multiples (128) so in-kernel reshapes stay legal."""
+    override = os.environ.get("DETECTRON_TPU_ROI_LAYOUT")
+    if override:
+        sl, cc, sub = (int(x) for x in override.split(","))
+        return sl, (C if cc == 0 else cc), sub
     chunks = [C] + ([128] if C % 128 == 0 and C > 128 else [])
+    subs = [1] + ([2] if J % 2 == 0 else [])
     for slots in (2, 1):
-        for cc in chunks:
-            if _vmem_estimate(slots, cc, J, P, WY, WX, C, item) \
-                    <= _VMEM_BUDGET:
-                return slots, cc
-    return 1, chunks[-1]
+        for sub in subs:
+            for cc in chunks:
+                if _vmem_estimate(slots, cc, sub, J, P, WY, WX, C, item) \
+                        <= _VMEM_BUDGET:
+                    return slots, cc, sub
+    return 1, chunks[-1], subs[-1]
 
 
 def _kernel(starts_ref, starts_next_ref, vy_ref, vx_ref, canvas_ref,
             out_ref, win_scratch, sems, *, rois_per_step, window_y,
-            window_x, pooled, channels, n_slots, c_chunk):
+            window_x, pooled, channels, n_slots, c_chunk, subgroups):
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
     slot = jax.lax.rem(step, n_slots)
@@ -98,46 +111,56 @@ def _kernel(starts_ref, starts_next_ref, vy_ref, vx_ref, canvas_ref,
         for j in range(rois_per_step):
             dma(slot, starts_ref, j).start()
 
-    for j in range(rois_per_step):
-        dma(slot, starts_ref, j).wait()
-
     # Per-RoI interpolation is two tiny matmuls (M = pooled = 7 -> ~5% MXU
-    # row utilization). Batch all rois_per_step RoIs into ONE pair of
-    # matmuls via block-diagonal weight matrices: M grows to J*P = 56 and
-    # the stacked windows provide the K dimension. ~12x redundant FLOPs
-    # (the off-diagonal zeros) buy ~8x better MXU occupancy — measured net
+    # row utilization). Batch a subgroup of Js RoIs into ONE pair of
+    # matmuls via block-diagonal weight matrices: M grows to Js*P and the
+    # stacked windows provide the K dimension. ~Js x redundant FLOPs (the
+    # off-diagonal zeros) buy ~Js x better MXU occupancy — measured net
     # win on v5e.
-    J, P, WY, WX, C = rois_per_step, pooled, window_y, window_x, channels
+    P, WY, WX, C = pooled, window_y, window_x, channels
+    Js = rois_per_step // subgroups
 
     def block_diag(v2, W):
-        # v2: (J*P, W) per-RoI weights -> (J*P, J*W) block-diagonal
-        r_grp = jax.lax.broadcasted_iota(jnp.int32, (J * P, J * W), 0) // P
-        k_grp = jax.lax.broadcasted_iota(jnp.int32, (J * P, J * W), 1) // W
-        return jnp.where(r_grp == k_grp, jnp.tile(v2, (1, J)),
+        # v2: (Js*P, W) per-RoI weights -> (Js*P, Js*W) block-diagonal
+        r_grp = jax.lax.broadcasted_iota(jnp.int32, (Js * P, Js * W), 0) // P
+        k_grp = jax.lax.broadcasted_iota(jnp.int32, (Js * P, Js * W), 1) // W
+        return jnp.where(r_grp == k_grp, jnp.tile(v2, (1, Js)),
                          jnp.zeros((), v2.dtype))
 
-    # vy/vx arrive pre-flattened to (N*P, W) — an in-kernel (J, P, W) ->
-    # (J*P, W) reshape is an unsupported Mosaic shape cast (P=7 is not a
-    # sublane multiple).
-    bd_vy = block_diag(vy_ref[...], WY)  # (J*P, J*WY)
-    bd_vx = block_diag(vx_ref[...], WX)  # (J*P, J*WX)
+    for s in range(subgroups):
+        j0 = s * Js
+        # Wait only this subgroup's windows: later subgroups' DMAs keep
+        # landing while this one computes (intra-step overlap for the
+        # single-slot configs).
+        for j in range(j0, j0 + Js):
+            dma(slot, starts_ref, j).wait()
 
-    for ci in range(C // c_chunk):
-        cs = pl.ds(ci * c_chunk, c_chunk)
-        cc = c_chunk
-        wins = win_scratch[slot, :, :, :, cs].reshape(J * WY, WX * cc)
-        # t1[(j,p), (w,c)] = sum_h vy_j[p,h] win_j[h,w,c]
-        t1 = jax.lax.dot_general(
-            bd_vy, wins, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(J, P, WX, cc)
-        t1 = t1.transpose(0, 2, 1, 3).reshape(J * WX, P * cc)
-        # out[(j,q), (p,c)] = sum_w vx_j[q,w] t1[(j,w), (p,c)]
-        out = jax.lax.dot_general(
-            bd_vx, t1, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(J, P, P, cc)  # (j, q, p, c)
-        out_ref[:, :, :, cs] = out.transpose(0, 2, 1, 3).astype(out_ref.dtype)
+        # vy/vx arrive pre-flattened to (N*P, W) — an in-kernel (J, P, W)
+        # -> (J*P, W) reshape is an unsupported Mosaic shape cast (P=7 is
+        # not a sublane multiple).
+        bd_vy = block_diag(vy_ref[j0 * P:(j0 + Js) * P, :], WY)
+        bd_vx = block_diag(vx_ref[j0 * P:(j0 + Js) * P, :], WX)
+
+        for ci in range(C // c_chunk):
+            cs = pl.ds(ci * c_chunk, c_chunk)
+            cc = c_chunk
+            wins = win_scratch[slot, j0:j0 + Js, :, :, cs].reshape(
+                Js * WY, WX * cc)
+            # t1[(j,p), (w,c)] = sum_h vy_j[p,h] win_j[h,w,c]. NB: Mosaic
+            # requires f32 matmul accumulators (bf16 preferred_element_type
+            # fails 'tpu.matmul op Expected matmul acc'), so t1 is f32.
+            t1 = jax.lax.dot_general(
+                bd_vy, wins, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(Js, P, WX, cc)
+            t1 = t1.transpose(0, 2, 1, 3).reshape(Js * WX, P * cc)
+            # out[(j,q), (p,c)] = sum_w vx_j[q,w] t1[(j,w), (p,c)]
+            out = jax.lax.dot_general(
+                bd_vx, t1, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(Js, P, P, cc)  # (j, q, p, c)
+            out_ref[j0:j0 + Js, :, :, cs] = out.transpose(
+                0, 2, 1, 3).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -156,7 +179,7 @@ def roi_window_pool(canvas, starts, vy, vx, window_y, window_x, pooled,
     assert N % rois_per_step == 0
     grid = (N // rois_per_step,)
 
-    n_slots, c_chunk = _pick_layout(
+    n_slots, c_chunk, subgroups = _pick_layout(
         rois_per_step, pooled, window_y, window_x, C, canvas.dtype.itemsize)
 
     # Step i's block of this rolled copy holds step i+1's origins (the
@@ -167,7 +190,7 @@ def roi_window_pool(canvas, starts, vy, vx, window_y, window_x, pooled,
     kernel = functools.partial(
         _kernel, rois_per_step=rois_per_step, window_y=window_y,
         window_x=window_x, pooled=pooled, channels=C, n_slots=n_slots,
-        c_chunk=c_chunk)
+        c_chunk=c_chunk, subgroups=subgroups)
 
     return pl.pallas_call(
         kernel,
