@@ -114,25 +114,24 @@ def _detect_tail(params, features, scales, rois, roi_valid, im_info):
     K = min(scores_c.shape[-1], max(4 * D, 128))
     top_s, top_i = jax.lax.top_k(scores_c, K)  # (B, C-1, K)
     top_b = jnp.take_along_axis(boxes_c, top_i[..., None], axis=2)
-    idx_flat, valid_flat = nms_ops.nms_batched_sorted(
+    # NMS returns a keep MASK in place (no compacted indices): the three
+    # take_along_axis gathers the compaction forced downstream measured
+    # ~13 ms/batch on v5e — masked scores + one cross-class top-D replace
+    # them with elementwise selects. This also drops the per-class D cap
+    # the compacted form imposed before the global limit (the reference
+    # caps across classes only), so it is the more faithful tail.
+    keep = nms_ops.nms_batched_sorted_mask(
         top_b.reshape(B * (C - 1), K, 4),
         top_s.reshape(B * (C - 1), K),
-        cfg.TEST.NMS, D, tile_size=cfg.TPU.NMS_TILE_SIZE)
-    idx_k = idx_flat.reshape(B, C - 1, -1)
-    valid = valid_flat.reshape(B, C - 1, -1)
-    idx = jnp.take_along_axis(top_i, idx_k, axis=2)
-
-    kept_scores = jnp.where(
-        valid, jnp.take_along_axis(scores_c, idx, axis=2), -jnp.inf)
-    kept_boxes = jnp.take_along_axis(
-        boxes_c, idx[..., None], axis=2)  # (B, C-1, D, 4)
+        cfg.TEST.NMS, tile_size=cfg.TPU.NMS_TILE_SIZE).reshape(B, C - 1, K)
+    kept_scores = jnp.where(keep, top_s, -jnp.inf)
 
     # Global top-D across classes (reference: limit to DETECTIONS_PER_IM).
     flat_scores = kept_scores.reshape(B, -1)
-    flat_boxes = kept_boxes.reshape(B, -1, 4)
+    flat_boxes = top_b.reshape(B, -1, 4)
     top_scores, top_idx = jax.lax.top_k(flat_scores, D)
     out_boxes = jnp.take_along_axis(flat_boxes, top_idx[..., None], axis=1)
-    out_classes = (top_idx // D + 1).astype(jnp.int32)
+    out_classes = (top_idx // K + 1).astype(jnp.int32)
     out_valid = jnp.isfinite(top_scores)
     out_scores = jnp.where(out_valid, top_scores, 0.0)
     out_boxes = out_boxes * out_valid[..., None]
