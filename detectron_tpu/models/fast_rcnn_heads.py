@@ -22,15 +22,35 @@ def init_roi_2mlp_head(rng, dim_in, roi_res):
     }
 
 
+def _fc_on_nhwc(fc_p, roi_feat):
+    """FC over flattened RoI features whose WEIGHT rows are in Caffe2
+    (C, P, P) flatten order, applied to NHWC activations.
+
+    Instead of transposing the (R, P, P, C) activations to channel-first
+    (an (R*P*P*C)-sized relayout — ~800 MB and 6.6 ms/step at production
+    box-head shapes, xprof: reshape.99 + copy.448), permute the weight's
+    ROWS once per step (a 25 MB transpose XLA hoists next to the matmul):
+    w[(c,p,q), h] -> w[(p,q,c), h]. Numerically identical; params keep the
+    Caffe2 layout so the weight importer and its layout tests are
+    untouched."""
+    R, P, Q, C = roi_feat.shape
+    w = fc_p["w"]
+    H = w.shape[-1]
+    w_nhwc = w.reshape(C, P, Q, H).transpose(1, 2, 0, 3).reshape(-1, H)
+    x = roi_feat.reshape(R, -1)
+    y = x @ w_nhwc.astype(x.dtype)
+    if "b" in fc_p:
+        y = y + fc_p["b"].astype(y.dtype)
+    return y
+
+
 def apply_roi_2mlp_head(p, roi_feat):
     """roi_feat: (R, P, P, C) -> (R, MLP_HEAD_DIM).
 
-    Caffe2 flattens (C, P, P) feature blocks; to load Detectron fc6 weights
-    verbatim we transpose to channel-first before flattening.
-    """
-    R = roi_feat.shape[0]
-    x = jnp.transpose(roi_feat, (0, 3, 1, 2)).reshape(R, -1)
-    x = L.relu(L.fc(p["fc6"], x))
+    Caffe2 flattens (C, P, P) feature blocks; to load Detectron fc6
+    weights verbatim the weight rows are permuted to NHWC-flatten order
+    (see _fc_on_nhwc — cheaper than transposing the activations)."""
+    x = L.relu(_fc_on_nhwc(p["fc6"], roi_feat))
     x = L.relu(L.fc(p["fc7"], x))
     return x
 
@@ -67,9 +87,7 @@ def apply_roi_Xconv1fc_head(p, roi_feat):
                 cfg.GROUP_NORM.NUM_GROUPS)
             x = L.group_norm(p["gns"][i], x, g, cfg.GROUP_NORM.EPSILON)
         x = L.relu(x)
-    R = x.shape[0]
-    x = jnp.transpose(x, (0, 3, 1, 2)).reshape(R, -1)
-    return L.relu(L.fc(p["fc6"], x))
+    return L.relu(_fc_on_nhwc(p["fc6"], x))
 
 
 def init_fast_rcnn_outputs(rng, dim_in):

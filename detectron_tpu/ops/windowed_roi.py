@@ -109,9 +109,16 @@ def window_params(rois, scales, heights, widths, row_off, pad_rows, Wc,
     # Window start: center-ish on the RoI, clamped inside the level's padded
     # block so the slice never crosses into another level. The x start is
     # rounded down to `align_x` (TPU sublane tiling needs 8-aligned W-dim
-    # DMA offsets; the extra slack is covered by a wider x window).
+    # DMA offsets; the extra slack is covered by a wider x window). The x
+    # upper clamp is PER-LEVEL (Wl - window_x, floored at 0): when the
+    # window is at least as wide as the level, wx0 pins to 0 and the
+    # window covers the WHOLE level — whole-level interpolation, exact for
+    # any RoI extent (the full-canvas top-level path relies on this; the
+    # read never crosses levels because levels are row-stacked and
+    # column-padded by >= window_x).
     wy0 = jnp.clip(jnp.floor(y1) - 1.0, 0.0, Hp - window_y)
-    wx0 = jnp.clip(jnp.floor(x1) - 1.0, 0.0, jnp.float32(Wc - window_x))
+    wx0 = jnp.clip(jnp.floor(x1) - 1.0, 0.0,
+                   jnp.maximum(Wl - window_x, 0.0))
     if align_x > 1:
         wx0 = jnp.floor(wx0 / align_x) * align_x
 
@@ -216,23 +223,30 @@ def build_canvas_batched(pyramid, window_y, window_x):
     jax.jit,
     static_argnames=("pooled", "sampling_ratio", "k_min", "k_max", "window",
                      "rois_per_step", "canonical_scale", "canonical_level",
-                     "interpret"),
+                     "interpret", "x_cover"),
 )
 def multilevel_roi_align_pallas(pyramid, scales, rois, pooled,
                                 sampling_ratio, k_min, k_max,
                                 canonical_scale=224, canonical_level=4,
-                                window=48, rois_per_step=8, interpret=False):
+                                window=48, rois_per_step=8, interpret=False,
+                                x_cover=0):
     """Batched Pallas path. pyramid: list of (B, H_l, W_l, C); rois:
     (B, R, 4). Returns (B, R, pooled, pooled, C). Same numerics as
     multilevel_roi_align_windowed; the per-RoI window reads are explicit
-    async DMAs (ops/pallas/roi_align_kernel.py)."""
+    async DMAs (ops/pallas/roi_align_kernel.py).
+
+    x_cover: widen the x window to at least this many cells (rounded up
+    to the 8-sublane tile). The full-canvas top-level path passes the top
+    level's width so every top RoI's window pins to x=0 and spans the
+    whole level (see window_params)."""
     from detectron_tpu.ops.pallas import roi_align_kernel as rk
 
     assert sampling_ratio > 0
     B, R = rois.shape[:2]
     C = pyramid[0].shape[-1]
     window_y = window
-    window_x = window + 8  # slack for the 8-aligned x start
+    # slack for the 8-aligned x start, or whole-level x coverage
+    window_x = -(-max(window + 8, x_cover) // 8) * 8
 
     canvas = build_canvas_batched(pyramid, window_y, window_x)
     Wc = canvas.shape[2]
@@ -273,11 +287,11 @@ def multilevel_roi_align_pallas(pyramid, scales, rois, pooled,
 def _pallas_window_params_batched(pyramid_shapes, scales, rois, pooled,
                                   sampling_ratio, k_min, k_max,
                                   canonical_scale, canonical_level, window,
-                                  dtype, Wc):
+                                  dtype, Wc, x_cover=0):
     """Shared param computation for the trainable path. pyramid_shapes:
     list of (H_l, W_l)."""
     window_y = window
-    window_x = window + 8
+    window_x = -(-max(window + 8, x_cover) // 8) * 8
     heights = jnp.asarray([d[0] for d in pyramid_shapes], jnp.float32)
     widths = jnp.asarray([d[1] for d in pyramid_shapes], jnp.float32)
     pad_rows_l = [max(d[0], window_y) for d in pyramid_shapes]
@@ -303,10 +317,11 @@ def _pallas_window_params_batched(pyramid_shapes, scales, rois, pooled,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5, 6, 7, 8, 9,
-                                                    10, 11))
+                                                    10, 11, 12))
 def multilevel_roi_align_pallas_trainable(
         pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
-        canonical_scale, canonical_level, window, rois_per_step, interpret):
+        canonical_scale, canonical_level, window, rois_per_step, interpret,
+        x_cover=0):
     """Differentiable (w.r.t. pyramid) Pallas RoIAlign: forward is the async-
     DMA kernel; backward is the exact linear transpose of the window gather +
     interpolation matmuls (XLA lowers the gather transpose to a fused
@@ -315,16 +330,18 @@ def multilevel_roi_align_pallas_trainable(
     return multilevel_roi_align_pallas(
         pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
         canonical_scale=canonical_scale, canonical_level=canonical_level,
-        window=window, rois_per_step=rois_per_step, interpret=interpret)
+        window=window, rois_per_step=rois_per_step, interpret=interpret,
+        x_cover=x_cover)
 
 
 def _pallas_trainable_fwd(pyramid, scales, rois, pooled, sampling_ratio,
                           k_min, k_max, canonical_scale, canonical_level,
-                          window, rois_per_step, interpret):
+                          window, rois_per_step, interpret, x_cover=0):
     out = multilevel_roi_align_pallas(
         pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
         canonical_scale=canonical_scale, canonical_level=canonical_level,
-        window=window, rois_per_step=rois_per_step, interpret=interpret)
+        window=window, rois_per_step=rois_per_step, interpret=interpret,
+        x_cover=x_cover)
     shapes = tuple((f.shape[1], f.shape[2]) for f in pyramid)
     pyr_struct = jax.tree.map(
         lambda f: jax.ShapeDtypeStruct(f.shape, f.dtype), list(pyramid))
@@ -333,11 +350,11 @@ def _pallas_trainable_fwd(pyramid, scales, rois, pooled, sampling_ratio,
 
 def _pallas_trainable_bwd(scales, pooled, sampling_ratio, k_min, k_max,
                           canonical_scale, canonical_level, window,
-                          rois_per_step, interpret, res, ct):
+                          rois_per_step, interpret, x_cover, res, ct):
     rois, shapes, pyr_struct = res
     B, R = rois.shape[:2]
     window_y = window
-    window_x = window + 8
+    window_x = -(-max(window + 8, x_cover) // 8) * 8
     # Canvas width must match build_canvas_batched.
     wmax = max(w for _, w in shapes) + window_x
     Wc = -(-wmax // 8) * 8
@@ -345,7 +362,8 @@ def _pallas_trainable_bwd(scales, pooled, sampling_ratio, k_min, k_max,
 
     starts, vy, vx = _pallas_window_params_batched(
         shapes, scales, rois, pooled, sampling_ratio, k_min, k_max,
-        canonical_scale, canonical_level, window, dtype, Wc)
+        canonical_scale, canonical_level, window, dtype, Wc,
+        x_cover=x_cover)
 
     # d_win[n, h, w, c] = sum_{p,q} vy[n,p,h] vx[n,q,w] ct[n,p,q,c]
     ct_f = ct.reshape(B * R, pooled, pooled, -1).astype(jnp.float32)
@@ -463,6 +481,29 @@ def multilevel_roi_align_pallas_hybrid(pyramid, scales, rois, pooled,
         )(pyramid[0], rois)
     _warn_if_window_small(window, canonical_scale, canonical_level,
                           sampling_ratio)
+
+    H_top, W_top = pyramid[-1].shape[1], pyramid[-1].shape[2]
+    if H_top <= window:
+        # FULL-CANVAS path: the top level fits the window height (it does
+        # at every production test shape — e.g. 26x42 at the 832x1344
+        # canvas), so top RoIs take whole-level windows (window_params
+        # pins their x start to the level origin; x_cover widens the
+        # window to the level width). Exact for ANY top-RoI extent — same
+        # math as the dense pass — with no separate dense compute and no
+        # (B, R, P, P, C)-sized select (xprof: 7.5 + 9.4 ms/step at
+        # batch 32).
+        if trainable:
+            return multilevel_roi_align_pallas_trainable(
+                list(pyramid), tuple(scales), rois, pooled,
+                sampling_ratio, k_min, k_max, canonical_scale,
+                canonical_level, window, rois_per_step, interpret, W_top)
+        return multilevel_roi_align_pallas(
+            pyramid, tuple(scales), rois, pooled, sampling_ratio,
+            k_min, k_max, canonical_scale=canonical_scale,
+            canonical_level=canonical_level, window=window,
+            rois_per_step=rois_per_step, interpret=interpret,
+            x_cover=W_top)
+
     if trainable:
         out_win = multilevel_roi_align_pallas_trainable(
             list(pyramid[:-1]), tuple(scales[:-1]), rois, pooled,
