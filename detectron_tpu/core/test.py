@@ -112,8 +112,19 @@ def _detect_tail(params, features, scales, rois, roi_valid, im_info):
     # all get suppressed — vanishingly rare at K >= 4D; cuts NMS IoU work
     # ~ (R/K)^2.
     K = min(scores_c.shape[-1], max(4 * D, 128))
-    top_s, top_i = jax.lax.top_k(scores_c, K)  # (B, C-1, K)
-    top_b = jnp.take_along_axis(boxes_c, top_i[..., None], axis=2)
+    # Joint stable sort of (score, x1, y1, x2, y2) instead of top_k +
+    # take_along_axis: the (B, C-1, R, 4) box gather alone measured
+    # 8.4 ms/batch on v5e (xprof fusion.30) vs ~3 ms for the 5-operand
+    # sort, and the mask-NMS tail needs no indices back into R. Stable
+    # ascending sort on -score == top_k's lowest-index tie order.
+    L = B * (C - 1)
+    sorted_ops = jax.lax.sort(
+        [-scores_c.reshape(L, R)]
+        + [boxes_c.reshape(L, R, 4)[..., j] for j in range(4)],
+        dimension=1, num_keys=1, is_stable=True)
+    top_s = -sorted_ops[0][:, :K].reshape(B, C - 1, K)
+    top_b = jnp.stack([o[:, :K] for o in sorted_ops[1:]],
+                      axis=-1).reshape(B, C - 1, K, 4)
     # NMS returns a keep MASK in place (no compacted indices): the three
     # take_along_axis gathers the compaction forced downstream measured
     # ~13 ms/batch on v5e — masked scores + one cross-class top-D replace
