@@ -197,13 +197,29 @@ def generate_proposals(rpn_outs, features, im_info, training):
         boxes_b, scores_b = jax.vmap(one_image)(cls_logits, bbox_pred,
                                                 im_info)
         from detectron_tpu.ops import nms as nms_ops
-        idx, valid = nms_ops.nms_batched_sorted(
-            boxes_b, scores_b, nms_thresh, post_n,
-            tile_size=cfg.TPU.NMS_TILE_SIZE)
-        b = jnp.take_along_axis(boxes_b, idx[..., None], axis=1) * \
-            valid[..., None]
-        s = jnp.where(valid, jnp.take_along_axis(scores_b, idx, axis=1),
-                      -jnp.inf)
+        if post_n >= boxes_b.shape[1]:
+            # No per-level truncation possible (post_n covers every slot,
+            # true in all standard FPN configs where per-level pre-NMS
+            # top-k == post_n): keep survivors as an in-place MASK. The
+            # compacted form's k=N rank top_k lowered to full variadic
+            # sorts plus box/score gathers (~6 ms/batch on v5e); the
+            # cross-level collect re-sorts by score anyway.
+            keep = nms_ops.nms_batched_sorted_mask(
+                boxes_b, scores_b, nms_thresh,
+                tile_size=cfg.TPU.NMS_TILE_SIZE)
+            b = boxes_b * keep[..., None]
+            s = jnp.where(keep, scores_b, -jnp.inf)
+            valid = keep
+        else:
+            # post_n truncates survivors per level (reference
+            # GenerateProposalsOp semantics): compacted output required.
+            idx, valid = nms_ops.nms_batched_sorted(
+                boxes_b, scores_b, nms_thresh, post_n,
+                tile_size=cfg.TPU.NMS_TILE_SIZE)
+            b = jnp.take_along_axis(boxes_b, idx[..., None], axis=1) * \
+                valid[..., None]
+            s = jnp.where(valid, jnp.take_along_axis(scores_b, idx, axis=1),
+                          -jnp.inf)
         level_boxes.append(b)
         level_scores.append(s)
         level_valid.append(valid)
