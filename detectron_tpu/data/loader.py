@@ -161,6 +161,9 @@ class TrainLoader:
         self._threads = []
         self._lock = threading.Lock()
         self._cursor = 0
+        self._next_ticket = 0
+        self._deliver_ticket = 0
+        self._reorder = {}
         self._epoch_order()
         for _ in range(max(1, self.num_threads)):
             t = threading.Thread(target=self._worker, daemon=True)
@@ -197,22 +200,34 @@ class TrainLoader:
             batch = self._order[self._cursor]
             self._cursor += 1
             seed = int(self.rng.randint(0, 2**31 - 1))
-        return batch, seed
+            ticket = self._next_ticket
+            self._next_ticket += 1
+        return batch, seed, ticket
 
     def _worker(self):
         while not self._stop.is_set():
-            idxs, seed = self._next_batch_indices()
+            idxs, seed, ticket = self._next_batch_indices()
             entries = [self.roidb[i] for i in idxs]
             batch = make_minibatch(entries, np.random.RandomState(seed))
             while not self._stop.is_set():
                 try:
-                    self._q.put(batch, timeout=0.5)
+                    self._q.put((ticket, batch), timeout=0.5)
                     break
                 except queue.Full:
                     continue
 
     def __next__(self):
-        return self._q.get()
+        # Deliver strictly in ticket (= sampler cursor) order: whichever
+        # thread finishes first, the training stream is bit-reproducible
+        # for a given seed at ANY num_threads (the reference's
+        # multi-worker loader — and round 1 here — was order-racy). The
+        # reorder buffer is bounded by prefetch + num_threads batches.
+        while self._deliver_ticket not in self._reorder:
+            ticket, batch = self._q.get()
+            self._reorder[ticket] = batch
+        batch = self._reorder.pop(self._deliver_ticket)
+        self._deliver_ticket += 1
+        return batch
 
     def __iter__(self):
         return self

@@ -81,3 +81,31 @@ def test_train_loader_iterates(tiny_roidb):
             assert (w >= h) == (w2 >= h2)
     finally:
         tl.close()
+
+
+def test_train_loader_deterministic_across_thread_counts(tiny_roidb):
+    """Ticket-sequenced delivery: the batch stream for a given seed is
+    identical at ANY num_threads (the reference's multi-worker loader was
+    order-racy; round 1 here pinned one thread to pass this)."""
+    from detectron_tpu.data import loader
+
+    config.merge_cfg_from_list([
+        "TRAIN.SCALES", "(96,)", "TRAIN.MAX_SIZE", "160",
+        "MODEL.MASK_ON", "False",
+        "TRAIN.ASPECT_GROUPING", "True",
+        "TPU.MAX_GT_BOXES", "5",
+    ])
+
+    def stream(num_threads, n=6):
+        tl = loader.TrainLoader(tiny_roidb, batch_size=2, seed=7,
+                                prefetch=3, num_threads=num_threads)
+        try:
+            return [next(tl) for _ in range(n)]
+        finally:
+            tl.close()
+
+    ref = stream(1)
+    got = stream(4)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a["images"], b["images"])
+        np.testing.assert_array_equal(a["gt_boxes"], b["gt_boxes"])
