@@ -205,14 +205,17 @@ def mask_graph(params, features, scales, det_boxes, det_classes):
         shared_res5_params=params.get("box_head", {}).get("res5"))
     logits = mask_rcnn_heads.apply_mask_outputs(params["mask_outs"], h)
     M = logits.shape[1]
-    logits = logits.reshape(B, D, M, M, -1)
+    # Select the detection's class channel BEFORE un-flattening: the class
+    # gather shrinks the tensor 81x, so the (B, D, M, M, C) relayout the
+    # old order forced (xprof: 2.7 ms/step at batch 32) collapses to a
+    # (B*D, M, M) reshape.
     if logits.shape[-1] > 1:
+        cls_flat = det_classes.reshape(B * D).astype(jnp.int32)
         sel = jnp.take_along_axis(
-            logits, det_classes[..., None, None, None].astype(jnp.int32),
-            axis=4)[..., 0]
+            logits, cls_flat[:, None, None, None], axis=3)[..., 0]
     else:
         sel = logits[..., 0]
-    return jax.nn.sigmoid(sel.astype(jnp.float32))
+    return jax.nn.sigmoid(sel.reshape(B, D, M, M).astype(jnp.float32))
 
 
 def keypoint_graph(params, features, scales, det_boxes):
