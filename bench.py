@@ -39,7 +39,11 @@ def main():
 
     params = mb.init_model(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32) * 20.0)
+    # Feed bf16 images: the graph's first conv casts to the bf16 compute
+    # dtype anyway, and the f32 parameter forced a 429 MB convert+relayout
+    # inside the graph (xprof: copy.402 + convert, ~3 ms/step).
+    images = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32) * 20.0,
+                         dtype=jnp.bfloat16)
     im_info = jnp.asarray([[800.0, 1333.0, 1.6]] * B, jnp.float32)
 
     fn = jax.jit(test_engine.detect_graph)

@@ -23,6 +23,7 @@ from detectron_tpu.models import layers as L
 from detectron_tpu.ops import anchors as anchor_ops
 from detectron_tpu.ops import box_ops
 from detectron_tpu.ops import nms as nms_ops
+from detectron_tpu.ops import topk as topk_ops
 
 
 # ---------------------------------------------------------------------------
@@ -88,10 +89,10 @@ def proposals_prep_one_level(cls_logits, bbox_pred, anchors, im_hw,
 
     k = min(pre_top_n, n)
     # Select on raw logits (sigmoid is monotonic: same top-k); sigmoid only
-    # the k winners. Measured on v5e: XLA's TopK does 210k->1000 at batch 32
-    # in ~8 ms — faster than the radix-select alternative in ops/topk.py
-    # (34 ms, scatter-bound); see PERF.md.
-    top_logits, top_idx = jax.lax.top_k(logits, k)
+    # the k winners. topk_chunked beats both XLA's native TopK chunking
+    # (~6.5 ms for the P2 map at batch 32 — see PERF.md) and the
+    # radix-select in ops/topk.py (34 ms, scatter-bound).
+    top_logits, top_idx = topk_ops.topk_chunked(logits, k)
     top_scores = jax.nn.sigmoid(top_logits)
     boxes = box_ops.bbox_transform(anchors[top_idx], deltas[top_idx],
                                    (1.0, 1.0, 1.0, 1.0))
@@ -119,7 +120,7 @@ def proposals_one_level(cls_logits, bbox_pred, anchors, im_hw, min_size_scaled,
     deltas = bbox_pred.reshape(n // A, A, 4).reshape(n, 4).astype(jnp.float32)
 
     k = min(pre_top_n, n)
-    top_logits, top_idx = jax.lax.top_k(logits, k)
+    top_logits, top_idx = topk_ops.topk_chunked(logits, k)
     top_scores = jax.nn.sigmoid(top_logits)
     top_deltas = deltas[top_idx]
     top_anchors = anchors[top_idx]

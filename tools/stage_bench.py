@@ -104,6 +104,17 @@ def main():
         return (jnp.sum(out["scores"]) + jnp.sum(out["boxes"]) +
                 jnp.sum(out["mask_probs"]))
 
+    def detect_nomask(params, images, im_info):
+        # Same graph with MASK_ON toggled off at TRACE time (cfg is a
+        # plain python object; the jit traces whatever it reads).
+        prev = cfg.MODEL.MASK_ON
+        cfg.MODEL.MASK_ON = False
+        try:
+            out = test_ops.detect_graph(params, images, im_info)
+        finally:
+            cfg.MODEL.MASK_ON = prev
+        return jnp.sum(out["scores"]) + jnp.sum(out["boxes"])
+
     stages = [
         ("body only (s2d={})".format(cfg.TPU.S2D_STEM),
          jax.jit(body_only), (params, images)),
@@ -111,6 +122,8 @@ def main():
         ("+ rpn heads", jax.jit(rpn), (params, images)),
         ("+ proposals", jax.jit(props), (params, images, im_info)),
         ("+ box head", jax.jit(boxes), (params, images, im_info)),
+        ("+ decode/NMS (no mask)", jax.jit(detect_nomask),
+         (params, images, im_info)),
         ("full detect", jax.jit(full), (params, images, im_info)),
     ]
     if not args.skip_cumulative:
