@@ -34,7 +34,7 @@ def main():
     ])
     config.assert_and_infer_cfg(make_immutable=False)
 
-    B = 32  # batch per chip
+    B = 48  # batch per chip (measured: 32 -> 142.7, 48 -> 144.7, 64 -> 144.7 img/s)
     H, W = 832, 1344
 
     params = mb.init_model(jax.random.PRNGKey(0))
