@@ -22,7 +22,7 @@ def init_roi_2mlp_head(rng, dim_in, roi_res):
     }
 
 
-def _fc_on_nhwc(fc_p, roi_feat):
+def _fc_on_nhwc(fc_p, roi_feat, qp_order=False):
     """FC over flattened RoI features whose WEIGHT rows are in Caffe2
     (C, P, P) flatten order, applied to NHWC activations.
 
@@ -36,7 +36,12 @@ def _fc_on_nhwc(fc_p, roi_feat):
     R, P, Q, C = roi_feat.shape
     w = fc_p["w"]
     H = w.shape[-1]
-    w_nhwc = w.reshape(C, P, Q, H).transpose(1, 2, 0, 3).reshape(-1, H)
+    if qp_order:
+        # roi_feat arrives (R, Q, P, C) — the Pallas kernel's natural
+        # output order (out_qp): permute rows to (q, p, c) instead.
+        w_nhwc = w.reshape(C, P, Q, H).transpose(2, 1, 0, 3).reshape(-1, H)
+    else:
+        w_nhwc = w.reshape(C, P, Q, H).transpose(1, 2, 0, 3).reshape(-1, H)
     x = roi_feat.reshape(R, -1)
     y = x @ w_nhwc.astype(x.dtype)
     if "b" in fc_p:
@@ -44,13 +49,13 @@ def _fc_on_nhwc(fc_p, roi_feat):
     return y
 
 
-def apply_roi_2mlp_head(p, roi_feat):
+def apply_roi_2mlp_head(p, roi_feat, qp_order=False):
     """roi_feat: (R, P, P, C) -> (R, MLP_HEAD_DIM).
 
     Caffe2 flattens (C, P, P) feature blocks; to load Detectron fc6
     weights verbatim the weight rows are permuted to NHWC-flatten order
     (see _fc_on_nhwc — cheaper than transposing the activations)."""
-    x = L.relu(_fc_on_nhwc(p["fc6"], roi_feat))
+    x = L.relu(_fc_on_nhwc(p["fc6"], roi_feat, qp_order=qp_order))
     x = L.relu(L.fc(p["fc7"], x))
     return x
 

@@ -239,7 +239,8 @@ def generate_proposals(rpn_outs, features, im_info, training):
 
 
 def roi_feature_transform(params, features, scales, rois, resolution,
-                          sampling_ratio, method=None, impl=None):
+                          sampling_ratio, method=None, impl=None,
+                          out_qp=False):
     """Dispatch RoI feature extraction (reference:
     model_builder.roi_feature_transform). features: list of (B, H, W, C);
     rois: (B, R, 4). Returns (B, R, P, P, C).
@@ -317,7 +318,10 @@ def roi_feature_transform(params, features, scales, rois, resolution,
             window=cfg.TPU.ROI_WINDOW,
             rois_per_step=8,
             interpret=_jax.default_backend() == "cpu",
-            trainable=True)
+            trainable=True, out_qp=out_qp)
+
+    if out_qp and impl != "pallas":
+        raise ValueError("out_qp is a pallas-path optimization")
 
     if impl == "windowed":
         from detectron_tpu.ops import windowed_roi as win_ops
@@ -373,14 +377,21 @@ def forward_box_outputs(params, features, scales, rois, impl=None):
     B, R = rois.shape[:2]
 
     if spec.is_fpn:
+        head_name = cfg.FAST_RCNN.ROI_BOX_HEAD
+        # The 2mlp head flattens the pooled block into an FC: it can absorb
+        # a (q, p)-transposed pooled layout as a weight-row permutation, so
+        # the Pallas kernel skips its per-step output transpose (out_qp).
+        use_qp = ("roi_2mlp_head" in head_name
+                  and (impl or cfg.TPU.ROI_IMPL) == "pallas")
         roi_feat = roi_feature_transform(
             params, features, scales, rois,
             cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
-            cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO, impl=impl)
+            cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO, impl=impl,
+            out_qp=use_qp)
         flat = roi_feat.reshape((B * R,) + roi_feat.shape[2:])
-        head_name = cfg.FAST_RCNN.ROI_BOX_HEAD
         if "roi_2mlp_head" in head_name:
-            feat = fast_rcnn_heads.apply_roi_2mlp_head(params["box_head"], flat)
+            feat = fast_rcnn_heads.apply_roi_2mlp_head(
+                params["box_head"], flat, qp_order=use_qp)
         else:
             feat = fast_rcnn_heads.apply_roi_Xconv1fc_head(
                 params["box_head"], flat)

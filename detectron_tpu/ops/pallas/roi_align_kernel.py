@@ -77,7 +77,8 @@ def _pick_layout(J, P, WY, WX, C, item):
 
 def _kernel(starts_ref, starts_next_ref, vy_ref, vx_ref, canvas_ref,
             out_ref, win_scratch, sems, *, rois_per_step, window_y,
-            window_x, pooled, channels, n_slots, c_chunk, subgroups):
+            window_x, pooled, channels, n_slots, c_chunk, subgroups,
+            out_qp):
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
     slot = jax.lax.rem(step, n_slots)
@@ -159,17 +160,23 @@ def _kernel(starts_ref, starts_next_ref, vy_ref, vx_ref, canvas_ref,
                 bd_vx, t1, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).reshape(Js, P, P, cc)  # (j, q, p, c)
-            out_ref[j0:j0 + Js, :, :, cs] = out.transpose(
-                0, 2, 1, 3).astype(out_ref.dtype)
+            if out_qp:
+                # Caller absorbs the (q, p) order (e.g. the box-head FC
+                # permutes its weight rows): skip the per-step VPU
+                # transpose of the f32 result.
+                out_ref[j0:j0 + Js, :, :, cs] = out.astype(out_ref.dtype)
+            else:
+                out_ref[j0:j0 + Js, :, :, cs] = out.transpose(
+                    0, 2, 1, 3).astype(out_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("window_y", "window_x", "pooled", "rois_per_step",
-                     "interpret"),
+                     "interpret", "out_qp"),
 )
 def roi_window_pool(canvas, starts, vy, vx, window_y, window_x, pooled,
-                    rois_per_step=8, interpret=False):
+                    rois_per_step=8, interpret=False, out_qp=False):
     """canvas: (B, Hc, Wc, C); starts: (N, 3) int32 [img, y0, x0] with x0
     8-aligned; vy: (N, P, WY), vx: (N, P, WX) interpolation weights (grid
     average folded in). Returns (N, P, P, C). N must be a multiple of
@@ -190,7 +197,7 @@ def roi_window_pool(canvas, starts, vy, vx, window_y, window_x, pooled,
     kernel = functools.partial(
         _kernel, rois_per_step=rois_per_step, window_y=window_y,
         window_x=window_x, pooled=pooled, channels=C, n_slots=n_slots,
-        c_chunk=c_chunk, subgroups=subgroups)
+        c_chunk=c_chunk, subgroups=subgroups, out_qp=out_qp)
 
     return pl.pallas_call(
         kernel,

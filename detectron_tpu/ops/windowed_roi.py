@@ -223,13 +223,13 @@ def build_canvas_batched(pyramid, window_y, window_x):
     jax.jit,
     static_argnames=("pooled", "sampling_ratio", "k_min", "k_max", "window",
                      "rois_per_step", "canonical_scale", "canonical_level",
-                     "interpret", "x_cover"),
+                     "interpret", "x_cover", "out_qp"),
 )
 def multilevel_roi_align_pallas(pyramid, scales, rois, pooled,
                                 sampling_ratio, k_min, k_max,
                                 canonical_scale=224, canonical_level=4,
                                 window=48, rois_per_step=8, interpret=False,
-                                x_cover=0):
+                                x_cover=0, out_qp=False):
     """Batched Pallas path. pyramid: list of (B, H_l, W_l, C); rois:
     (B, R, 4). Returns (B, R, pooled, pooled, C). Same numerics as
     multilevel_roi_align_windowed; the per-RoI window reads are explicit
@@ -276,7 +276,7 @@ def multilevel_roi_align_pallas(pyramid, scales, rois, pooled,
 
     out = rk.roi_window_pool(canvas, starts, vy, vx, window_y, window_x,
                              pooled, rois_per_step=rois_per_step,
-                             interpret=interpret)
+                             interpret=interpret, out_qp=out_qp)
     return out[:N].reshape(B, R, pooled, pooled, C)
 
 
@@ -317,11 +317,11 @@ def _pallas_window_params_batched(pyramid_shapes, scales, rois, pooled,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5, 6, 7, 8, 9,
-                                                    10, 11, 12))
+                                                    10, 11, 12, 13))
 def multilevel_roi_align_pallas_trainable(
         pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
         canonical_scale, canonical_level, window, rois_per_step, interpret,
-        x_cover=0):
+        x_cover=0, out_qp=False):
     """Differentiable (w.r.t. pyramid) Pallas RoIAlign: forward is the async-
     DMA kernel; backward is the exact linear transpose of the window gather +
     interpolation matmuls (XLA lowers the gather transpose to a fused
@@ -331,17 +331,18 @@ def multilevel_roi_align_pallas_trainable(
         pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
         canonical_scale=canonical_scale, canonical_level=canonical_level,
         window=window, rois_per_step=rois_per_step, interpret=interpret,
-        x_cover=x_cover)
+        x_cover=x_cover, out_qp=out_qp)
 
 
 def _pallas_trainable_fwd(pyramid, scales, rois, pooled, sampling_ratio,
                           k_min, k_max, canonical_scale, canonical_level,
-                          window, rois_per_step, interpret, x_cover=0):
+                          window, rois_per_step, interpret, x_cover=0,
+                          out_qp=False):
     out = multilevel_roi_align_pallas(
         pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
         canonical_scale=canonical_scale, canonical_level=canonical_level,
         window=window, rois_per_step=rois_per_step, interpret=interpret,
-        x_cover=x_cover)
+        x_cover=x_cover, out_qp=out_qp)
     shapes = tuple((f.shape[1], f.shape[2]) for f in pyramid)
     pyr_struct = jax.tree.map(
         lambda f: jax.ShapeDtypeStruct(f.shape, f.dtype), list(pyramid))
@@ -350,8 +351,13 @@ def _pallas_trainable_fwd(pyramid, scales, rois, pooled, sampling_ratio,
 
 def _pallas_trainable_bwd(scales, pooled, sampling_ratio, k_min, k_max,
                           canonical_scale, canonical_level, window,
-                          rois_per_step, interpret, x_cover, res, ct):
+                          rois_per_step, interpret, x_cover, out_qp, res,
+                          ct):
     rois, shapes, pyr_struct = res
+    if out_qp:
+        # The forward emitted (B, R, Q, P, C); restore (p, q) for the
+        # transpose math below (tiny at training RoI counts).
+        ct = jnp.swapaxes(ct, 2, 3)
     B, R = rois.shape[:2]
     window_y = window
     window_x = -(-max(window + 8, x_cover) // 8) * 8
@@ -467,7 +473,7 @@ def multilevel_roi_align_pallas_hybrid(pyramid, scales, rois, pooled,
                                        canonical_scale=224,
                                        canonical_level=4, window=32,
                                        rois_per_step=8, interpret=False,
-                                       trainable=False):
+                                       trainable=False, out_qp=False):
     """Batched. Pallas DMA kernel for levels below the top + dense exact top
     level + per-RoI select. With trainable=True the kernel part uses the
     custom_vjp (linear-transpose backward); the dense part is plain
@@ -496,13 +502,14 @@ def multilevel_roi_align_pallas_hybrid(pyramid, scales, rois, pooled,
             return multilevel_roi_align_pallas_trainable(
                 list(pyramid), tuple(scales), rois, pooled,
                 sampling_ratio, k_min, k_max, canonical_scale,
-                canonical_level, window, rois_per_step, interpret, W_top)
+                canonical_level, window, rois_per_step, interpret, W_top,
+                out_qp)
         return multilevel_roi_align_pallas(
             pyramid, tuple(scales), rois, pooled, sampling_ratio,
             k_min, k_max, canonical_scale=canonical_scale,
             canonical_level=canonical_level, window=window,
             rois_per_step=rois_per_step, interpret=interpret,
-            x_cover=W_top)
+            x_cover=W_top, out_qp=out_qp)
 
     if trainable:
         out_win = multilevel_roi_align_pallas_trainable(
@@ -522,4 +529,5 @@ def multilevel_roi_align_pallas_hybrid(pyramid, scales, rois, pooled,
     lvl = roi_levels(rois.astype(jnp.float32), k_min, k_max,
                      canonical_scale, canonical_level)
     is_top = (lvl == k_max)[..., None, None, None]
-    return jnp.where(is_top, out_top, out_win.astype(out_top.dtype))
+    out = jnp.where(is_top, out_top, out_win.astype(out_top.dtype))
+    return jnp.swapaxes(out, 2, 3) if out_qp else out

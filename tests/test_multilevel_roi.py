@@ -331,3 +331,28 @@ def test_windowed_clamp_error_bound_elongated():
     # Tall RoI (second): error only in high-p bins.
     np.testing.assert_allclose(out_e[1][:2, :], ref_e[1][:2, :],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_out_qp_transposed_output():
+    """out_qp=True returns the (q, p)-swapped pooled block (the box-head FC
+    absorbs the order as a weight permutation; the kernel skips its per-step
+    output transpose)."""
+    from detectron_tpu.ops import windowed_roi as win
+
+    rng = np.random.RandomState(5)
+    pyramid = [jnp.asarray(rng.randn(2, 64, 84, 8).astype(np.float32)),
+               jnp.asarray(rng.randn(2, 32, 42, 8).astype(np.float32)),
+               jnp.asarray(rng.randn(2, 16, 21, 8).astype(np.float32))]
+    scales = (0.125, 0.0625, 0.03125)
+    rois = jnp.asarray(rng.rand(2, 8, 4).astype(np.float32) * 200)
+    rois = jnp.concatenate([rois[..., :2], rois[..., :2] + rois[..., 2:] + 8],
+                           axis=-1)
+    kw = dict(pooled=7, sampling_ratio=2, k_min=3, k_max=5,
+              canonical_scale=224, canonical_level=4, window=32,
+              rois_per_step=8, interpret=True)
+    base = win.multilevel_roi_align_pallas_hybrid(pyramid, scales, rois, **kw)
+    qp = win.multilevel_roi_align_pallas_hybrid(pyramid, scales, rois,
+                                                out_qp=True, **kw)
+    np.testing.assert_allclose(np.asarray(qp),
+                               np.asarray(jnp.swapaxes(base, 2, 3)),
+                               rtol=1e-5, atol=1e-5)
