@@ -21,12 +21,13 @@ Algorithm (radix-select, no sort over n):
 
 Total: ~10 linear passes over the data instead of a full sort.
 
-MEASURED OUTCOME (v5e, batch 32, n=210k, k=1000): 34 ms vs 7.8 ms for
-XLA's native TopK — the final cumsum+scatter compaction is scatter-bound
-on TPU and dominates. XLA's TopK custom-call is already a tuned partial
-sort, so the production proposal path uses lax.top_k (models/rpn.py);
-this module is kept as a tested, documented negative result and as the
-fallback shape for platforms without a fast TopK.
+MEASURED OUTCOME (v5e, batch 32, n=210k, k=1000): radix-select 34 ms vs
+7.8 ms for XLA's native TopK — the final cumsum+scatter compaction is
+scatter-bound on TPU and dominates, so topk_bisect is kept as a tested,
+documented negative result. The production proposal path uses
+topk_chunked (below): explicit sqrt(n*k) two-stage chunking of exact
+lax.top_k, which beats XLA's own TopK chunking (it merged 128k elements
+for the P2 map; xprof sort.22/23).
 """
 
 import functools
