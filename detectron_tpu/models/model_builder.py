@@ -381,8 +381,11 @@ def forward_box_outputs(params, features, scales, rois, impl=None):
         # The 2mlp head flattens the pooled block into an FC: it can absorb
         # a (q, p)-transposed pooled layout as a weight-row permutation, so
         # the Pallas kernel skips its per-step output transpose (out_qp).
+        # Only the RoIAlign pallas path produces (q, p) output; RoIPoolF /
+        # RoICrop return early in roi_feature_transform in (p, q) order.
         use_qp = ("roi_2mlp_head" in head_name
-                  and (impl or cfg.TPU.ROI_IMPL) == "pallas")
+                  and (impl or cfg.TPU.ROI_IMPL) == "pallas"
+                  and cfg.FAST_RCNN.ROI_XFORM_METHOD == "RoIAlign")
         roi_feat = roi_feature_transform(
             params, features, scales, rois,
             cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,

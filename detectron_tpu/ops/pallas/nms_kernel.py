@@ -4,9 +4,11 @@ Runs L independent NMS problems per grid step (lanes = images x levels, or
 images x classes), each over N score-sorted boxes. The greedy recurrence is
 inherently sequential in i, but each iteration suppresses against ALL later
 boxes of ALL lanes at once — an (L, N) VPU op — and IoU rows are computed on
-the fly (no N x N matrix in VMEM). The loop runs only to the maximum valid
-count across the block's lanes (score-sorted input puts all valid boxes in a
-prefix), so mostly-empty lanes cost nothing.
+the fly (no N x N matrix in VMEM). The loop runs only to the maximum over
+the block's lanes of (last valid index + 1), so mostly-empty lanes cost
+nothing. That bound is hole-safe: callers may feed -inf holes mid-sequence
+(e.g. min-size-filtered proposals), and every valid box still gets its turn
+as pivot; invalid holes never pivot (their keep mask starts dead).
 
 Semantics: identical to ops/nms.nms_padded with presorted=True (Detectron +1
 edge convention; invalid boxes marked by -inf scores never suppress and
@@ -36,7 +38,10 @@ def _kernel(nvalid_ref, thr_ref, boxes_ref, valid_ref, keep_ref, *,
 
     jidx = jax.lax.broadcasted_iota(jnp.int32, (lanes, n_boxes), 1)
 
-    n_iter = nvalid_ref[pl.program_id(0)]  # per-block max valid count
+    # Per-block loop bound: max over lanes of (last valid index + 1) —
+    # NOT sum(valid), which under-iterates when invalid -inf holes sit
+    # between valid boxes and would leave post-hole boxes pivotless.
+    n_iter = nvalid_ref[pl.program_id(0)]
 
     def body(i, keep):
         # keep: (L, N) float32 {0, 1} — Mosaic loop carries legalize more
@@ -91,12 +96,16 @@ def nms_keep_mask(boxes, valid, thr, lanes_per_step=8, interpret=False):
     L, N = valid.shape
     assert L % lanes_per_step == 0
     grid = (L // lanes_per_step,)
-    # Per-block max valid count (score-sorted lanes put valid boxes in a
-    # prefix, so the greedy loop can stop there). SMEM only supports scalar
+    # Per-block loop bound: max over lanes of (index of last valid box + 1).
+    # Same cost as the old sum(valid) but makes no prefix assumption, so
+    # lanes with -inf holes mid-sequence (min-size-filtered proposals) are
+    # handled identically to the XLA fallback. SMEM only supports scalar
     # loads, so the per-block max is computed here.
-    nvalid = jnp.sum(valid, axis=1).astype(jnp.int32)
+    nlast = jnp.max(
+        jnp.where(valid, jnp.arange(N, dtype=jnp.int32)[None, :] + 1, 0),
+        axis=1).astype(jnp.int32)
     nvalid_blk = jnp.max(
-        nvalid.reshape(L // lanes_per_step, lanes_per_step), axis=1)
+        nlast.reshape(L // lanes_per_step, lanes_per_step), axis=1)
     thr_arr = jnp.asarray([thr], jnp.float32)
 
     kernel = functools.partial(

@@ -129,8 +129,16 @@ def roi_align(feat, rois, spatial_scale, pooled_h, pooled_w,
         (((1,), (0,)), ((), ())),
         preferred_element_type=f32, precision=prec).reshape(R, P, W, C)
     # (R, Q, W) x (R, P, W, C) -> (R, P, Q, C): batched matmul over R.
-    out = jnp.einsum("rqw,rpwc->rpqc", vx, tmp.astype(f.dtype),
-                     preferred_element_type=f32, precision=prec)
+    # tmp stays f32, matching the Pallas windowed kernel (its t1
+    # intermediate is f32 into the second matmul): only the first,
+    # expensive contraction runs on bf16 operands. Precision must be
+    # raised here — at DEFAULT, XLA truncates f32 MXU operands to bf16,
+    # which would silently reintroduce the extra rounding step. This
+    # contraction is ~H/Q ~ 6x cheaper than the first, so HIGHEST is
+    # affordable.
+    out = jnp.einsum("rqw,rpwc->rpqc", vx.astype(f32), tmp,
+                     preferred_element_type=f32,
+                     precision=jax.lax.Precision.HIGHEST)
     return out.astype(feat.dtype)
 
 

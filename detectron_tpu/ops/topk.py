@@ -120,10 +120,14 @@ def topk_chunked(x, k, chunk_target=None):
     batch 32 on v5e; xprof sort.22/sort.23). Choosing chunks near
     sqrt(n*k) shrinks the merge input to nchunks*k ~ 15k.
 
-    Same contract as lax.top_k. Ties: each stage is lax.top_k
-    (lowest-index first within a chunk, chunks scanned in order), so the
-    selected VALUES equal lax.top_k's exactly; the returned indices pick
-    the same elements with lax.top_k's tie order.
+    Same value contract as lax.top_k: the returned VALUES are bit-exactly
+    lax.top_k's (the k largest, descending). Indices always point at
+    elements attaining those values and are in-range, but when more than
+    `kk` copies of a tied value concentrate in a single chunk the index
+    SET can differ from lax.top_k's global lowest-index-first tie order
+    (each chunk can contribute at most kk entries, so overflow ties come
+    from later chunks). The reference's host np.argsort breaks ties
+    arbitrarily too, so either selection matches its semantics.
     """
     import math
 
@@ -143,7 +147,12 @@ def topk_chunked(x, k, chunk_target=None):
     kk = min(k, c)
     v1, i1 = lax.top_k(xc, kk)                  # (..., nchunks, kk)
     base = (jnp.arange(nchunks, dtype=jnp.int32) * c)[..., None]
-    flat_idx = (i1 + base).reshape(lead + (nchunks * kk,))
+    # Clamp pad positions (last chunk's -inf fill) into range: lowest-index
+    # tie-breaking already prefers real elements over pads, but if a pad
+    # ever surfaced (kk ~ c with real -inf values present) its index would
+    # be >= n. The clamp makes that class impossible; values are unaffected.
+    flat_idx = jnp.minimum((i1 + base).reshape(lead + (nchunks * kk,)),
+                           jnp.int32(n - 1))
     v2, i2 = lax.top_k(v1.reshape(lead + (nchunks * kk,)), k)
     idx = jnp.take_along_axis(flat_idx, i2, axis=-1)
     return v2, idx
