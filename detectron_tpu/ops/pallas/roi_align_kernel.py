@@ -170,6 +170,178 @@ def _kernel(starts_ref, starts_next_ref, vy_ref, vx_ref, canvas_ref,
                     0, 2, 1, 3).astype(out_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Segmented variant: one sweep per window-shape rung of the RoI ladder
+# ---------------------------------------------------------------------------
+
+def _kernel_seg(seg_ref, starts_ref, starts_next_ref, vy_ref, vx_ref,
+                canvas_ref, prev_ref, out_ref, win_scratch, sems, *,
+                rois_per_step, window_y, window_x, pooled, channels,
+                n_slots, c_chunk, subgroups, out_qp):
+    """_kernel with a dynamic active step range [seg[0], seg[1]).
+
+    Callers sort RoIs so each rung's RoIs occupy a contiguous block range;
+    this sweep runs the full grid but does NOTHING outside its segment —
+    inactive steps issue no DMAs and map their output to a dummy tail
+    block (see roi_window_pool_seg), so they cost only the grid-loop
+    bookkeeping. prev_ref (the previous rung's buffer, aliased to the
+    output) is never read here: aliasing alone preserves the blocks this
+    sweep doesn't visit."""
+    del prev_ref
+    step = pl.program_id(0)
+    lo = seg_ref[0]
+    hi = seg_ref[1]
+    active = jnp.logical_and(step >= lo, step < hi)
+    slot = jax.lax.rem(step, n_slots)
+    next_slot = jax.lax.rem(step + 1, n_slots)
+
+    def dma(slot_i, sref, j):
+        b = sref[j, 0]
+        y0 = sref[j, 1]
+        x0 = pl.multiple_of(sref[j, 2], 8)
+        return pltpu.make_async_copy(
+            canvas_ref.at[b, pl.ds(y0, window_y), pl.ds(x0, window_x), :],
+            win_scratch.at[slot_i, j],
+            sems.at[slot_i, j],
+        )
+
+    if n_slots == 2:
+        @pl.when(step == lo)
+        def _():
+            for j in range(rois_per_step):
+                dma(slot, starts_ref, j).start()
+
+        @pl.when(jnp.logical_and(active, step + 1 < hi))
+        def _():
+            for j in range(rois_per_step):
+                dma(next_slot, starts_next_ref, j).start()
+    else:
+        @pl.when(active)
+        def _():
+            for j in range(rois_per_step):
+                dma(slot, starts_ref, j).start()
+
+    P, WY, WX, C = pooled, window_y, window_x, channels
+    Js = rois_per_step // subgroups
+
+    def block_diag(v2, W):
+        r_grp = jax.lax.broadcasted_iota(jnp.int32, (Js * P, Js * W), 0) // P
+        k_grp = jax.lax.broadcasted_iota(jnp.int32, (Js * P, Js * W), 1) // W
+        return jnp.where(r_grp == k_grp, jnp.tile(v2, (1, Js)),
+                         jnp.zeros((), v2.dtype))
+
+    @pl.when(active)
+    def _():
+        for s in range(subgroups):
+            j0 = s * Js
+            for j in range(j0, j0 + Js):
+                dma(slot, starts_ref, j).wait()
+
+            bd_vy = block_diag(vy_ref[j0 * P:(j0 + Js) * P, :], WY)
+            bd_vx = block_diag(vx_ref[j0 * P:(j0 + Js) * P, :], WX)
+
+            for ci in range(C // c_chunk):
+                cs = pl.ds(ci * c_chunk, c_chunk)
+                cc = c_chunk
+                wins = win_scratch[slot, j0:j0 + Js, :, :, cs].reshape(
+                    Js * WY, WX * cc)
+                t1 = jax.lax.dot_general(
+                    bd_vy, wins, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(Js, P, WX, cc)
+                t1 = t1.transpose(0, 2, 1, 3).reshape(Js * WX, P * cc)
+                out = jax.lax.dot_general(
+                    bd_vx, t1, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(Js, P, P, cc)
+                if out_qp:
+                    out_ref[j0:j0 + Js, :, :, cs] = out.astype(out_ref.dtype)
+                else:
+                    out_ref[j0:j0 + Js, :, :, cs] = out.transpose(
+                        0, 2, 1, 3).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_y", "window_x", "pooled", "rois_per_step",
+                     "interpret", "out_qp"),
+)
+def roi_window_pool_seg(canvas, prev, seg, starts, vy, vx, window_y,
+                        window_x, pooled, rois_per_step=8, interpret=False,
+                        out_qp=False):
+    """Segmented rung sweep. Like roi_window_pool, but only grid steps in
+    [seg[0], seg[1]) (RoI rows [seg[0]*J, seg[1]*J)) compute; the rest
+    write a dummy tail block. prev is a (N + J, P, P, C) buffer (a prior
+    rung's output) ALIASED to this call's output: blocks outside the
+    segment keep prev's contents with zero copy traffic. Pass prev=None
+    for the first rung (its unvisited blocks are garbage until later rungs
+    fill them). Returns (N + J, P, P, C); callers slice [:N].
+
+    Under interpret=True (CPU tests) aliasing semantics aren't guaranteed;
+    callers should where-merge the raw sweeps instead (see
+    windowed_roi.multilevel_roi_align_pallas_ladder)."""
+    N = starts.shape[0]
+    C = canvas.shape[-1]
+    J = rois_per_step
+    assert N % J == 0
+    nsteps = N // J
+    grid = (nsteps,)
+
+    n_slots, c_chunk, subgroups = _pick_layout(
+        J, pooled, window_y, window_x, C, canvas.dtype.itemsize)
+
+    starts_next = jnp.roll(starts, -J, axis=0)
+    if prev is None:
+        prev = jnp.zeros((N + J, pooled, pooled, C), canvas.dtype)
+
+    kernel = functools.partial(
+        _kernel_seg, rois_per_step=J, window_y=window_y,
+        window_x=window_x, pooled=pooled, channels=C, n_slots=n_slots,
+        c_chunk=c_chunk, subgroups=subgroups, out_qp=out_qp)
+
+    def clampmap(i, seg_ref):
+        # Inactive steps re-load the segment's edge block (consecutive
+        # equal indices skip the copy) instead of streaming unused blocks.
+        return jnp.clip(i, seg_ref[0],
+                        jnp.maximum(seg_ref[1] - 1, seg_ref[0]))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((J, 3), lambda i, s: (clampmap(i, s), 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((J, 3), lambda i, s: (clampmap(i, s), 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((J * pooled, window_y),
+                         lambda i, s: (clampmap(i, s), 0)),
+            pl.BlockSpec((J * pooled, window_x),
+                         lambda i, s: (clampmap(i, s), 0)),
+            pl.BlockSpec(memory_space=pl.ANY),   # canvas stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # prev (aliased, unread)
+        ],
+        out_specs=pl.BlockSpec(
+            (J, pooled, pooled, C),
+            lambda i, s: (jnp.where(
+                jnp.logical_and(i >= s[0], i < s[1]), i, nsteps), 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((n_slots, J, window_y, window_x, C), canvas.dtype),
+            pltpu.SemaphoreType.DMA((n_slots, J)),
+        ],
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (N + J, pooled, pooled, C), canvas.dtype),
+        # operand 6 in (seg, starts, starts_next, vy, vx, canvas, prev)
+        input_output_aliases={6: 0},
+        interpret=interpret,
+    )(seg, starts, starts_next, vy.reshape(N * pooled, window_y),
+      vx.reshape(N * pooled, window_x), canvas, prev)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("window_y", "window_x", "pooled", "rois_per_step",

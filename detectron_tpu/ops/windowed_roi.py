@@ -68,9 +68,13 @@ def window_params(rois, scales, heights, widths, row_off, pad_rows, Wc,
     """Per-RoI window origins + interpolation weights (shared by the XLA
     dynamic_slice path and the Pallas DMA kernel).
 
-    Returns (start_y, start_x) int32 (R,) into the stacked canvas and
-    vy/vx (R, pooled, window) weights with the sampling-grid average folded
-    in."""
+    Returns (start_y, start_x) int32 (R,) into the stacked canvas, vy/vx
+    (R, pooled, window) weights with the sampling-grid average folded in,
+    and ok (R,) bool — True iff the window FULLY covers every in-bounds
+    sample of the RoI (the windowed result is then bit-identical to exact
+    RoIAlign). Callers use ok for rung assignment (the window-shape ladder)
+    and for exact-fallback routing; a False ok means outer samples clamp at
+    the window edge (bounded approximation)."""
     rois = rois.astype(jnp.float32)
     w = rois[:, 2] - rois[:, 0] + 1.0
     h = rois[:, 3] - rois[:, 1] + 1.0
@@ -116,14 +120,30 @@ def window_params(rois, scales, heights, widths, row_off, pad_rows, Wc,
     # any RoI extent (the full-canvas top-level path relies on this; the
     # read never crosses levels because levels are row-stacked and
     # column-padded by >= window_x).
-    wy0 = jnp.clip(jnp.floor(y1) - 1.0, 0.0, Hp - window_y)
+    # The max(0, ...) upper bounds keep origins in-range even when the
+    # window exceeds the level's padded block (tall/wide ladder rungs at
+    # small levels): the window then overhangs into following level rows /
+    # padding columns, which carry zero weight (samples are level-clamped),
+    # so overhang reads are harmless — callers only must pad the canvas
+    # BOTTOM by the max window overhang (build_canvas_batched does).
+    wy0 = jnp.clip(jnp.floor(y1) - 1.0, 0.0,
+                   jnp.maximum(Hp - window_y, 0.0))
     wx0 = jnp.clip(jnp.floor(x1) - 1.0, 0.0,
                    jnp.maximum(Wl - window_x, 0.0))
     if align_x > 1:
         wx0 = jnp.floor(wx0 / align_x) * align_x
 
-    rel_y = jnp.clip(yc - wy0[:, None], 0.0, window_y - 1.0)
-    rel_x = jnp.clip(xc - wx0[:, None], 0.0, window_x - 1.0)
+    rel_y_raw = yc - wy0[:, None]
+    rel_x_raw = xc - wx0[:, None]
+    rel_y = jnp.clip(rel_y_raw, 0.0, window_y - 1.0)
+    rel_x = jnp.clip(rel_x_raw, 0.0, window_x - 1.0)
+    # Exact-coverage flag: every weighted (in-bounds) sample sits inside
+    # [0, window-1], so the clips above are no-ops and the windowed result
+    # equals exact RoIAlign for this RoI.
+    ok = (jnp.all((~in_y) | ((rel_y_raw >= 0.0)
+                             & (rel_y_raw <= window_y - 1.0)), axis=1)
+          & jnp.all((~in_x) | ((rel_x_raw >= 0.0)
+                               & (rel_x_raw <= window_x - 1.0)), axis=1))
 
     vy = _axis_weights_window(rel_y, in_y.astype(jnp.float32), window_y)
     vx = _axis_weights_window(rel_x, in_x.astype(jnp.float32), window_x)
@@ -136,7 +156,7 @@ def window_params(rois, scales, heights, widths, row_off, pad_rows, Wc,
 
     start_y = (off_y + wy0).astype(jnp.int32)
     start_x = wx0.astype(jnp.int32)
-    return start_y, start_x, vy, vx
+    return start_y, start_x, vy, vx, ok
 
 
 def _canvas_meta(pyramid, window):
@@ -153,14 +173,17 @@ def _canvas_meta(pyramid, window):
 @functools.partial(
     jax.jit,
     static_argnames=("pooled", "sampling_ratio", "k_min", "k_max", "window",
-                     "chunk", "canonical_scale", "canonical_level"),
+                     "chunk", "canonical_scale", "canonical_level",
+                     "return_ok"),
 )
 def multilevel_roi_align_windowed(pyramid, scales, rois, pooled,
                                   sampling_ratio, k_min, k_max,
                                   canonical_scale=224, canonical_level=4,
-                                  window=40, chunk=256):
+                                  window=40, chunk=256, return_ok=False):
     """pyramid: list of (H_l, W_l, C) for ONE image (k_min..k_max);
-    rois: (R, 4) image coords. Returns (R, pooled, pooled, C)."""
+    rois: (R, 4) image coords. Returns (R, pooled, pooled, C), or
+    ((R, pooled, pooled, C), ok (R,) bool) with return_ok=True (ok: the
+    window fully covered the RoI's samples — see window_params)."""
     assert sampling_ratio > 0
     L = len(pyramid)
     assert L == k_max - k_min + 1
@@ -172,7 +195,7 @@ def multilevel_roi_align_windowed(pyramid, scales, rois, pooled,
     heights, widths, row_off, pad_rows = _canvas_meta(pyramid, window)
     R = rois.shape[0]
 
-    start_y, start_x, vy, vx = window_params(
+    start_y, start_x, vy, vx, ok = window_params(
         rois, scales, heights, widths, row_off, pad_rows, Wc, pooled,
         sampling_ratio, k_min, k_max, canonical_scale, canonical_level,
         window, window, dtype)
@@ -201,21 +224,25 @@ def multilevel_roi_align_windowed(pyramid, scales, rois, pooled,
 
     out = jax.lax.map(do_chunk, args)
     out = out.reshape((n_chunks * chunk, pooled, pooled, C))
-    return out[:R]
+    return (out[:R], ok) if return_ok else out[:R]
 
 
-def build_canvas_batched(pyramid, window_y, window_x):
+def build_canvas_batched(pyramid, window_y, window_x, overhang_y=0):
     """pyramid: list of (B, H_l, W_l, C) -> canvas (B, Hc, Wc, C).
-    Wc is padded to a multiple of 8 for TPU sublane tiling."""
+    Wc is padded to a multiple of 8 for TPU sublane tiling. overhang_y:
+    extra zero rows appended BELOW the last level so windows taller than
+    window_y (ladder rungs) never slice past the canvas end (overhang rows
+    are zero-weighted; see window_params)."""
     C = pyramid[0].shape[-1]
     wmax = max(f.shape[2] for f in pyramid) + window_x
     wmax = -(-wmax // 8) * 8
     blocks = []
-    for f in pyramid:
+    for i, f in enumerate(pyramid):
         H, W = f.shape[1], f.shape[2]
         Hp = max(H, window_y)
+        extra = overhang_y if i == len(pyramid) - 1 else 0
         blocks.append(jnp.pad(
-            f, ((0, 0), (0, Hp - H), (0, wmax - W), (0, 0))))
+            f, ((0, 0), (0, Hp - H + extra), (0, wmax - W), (0, 0))))
     return jnp.concatenate(blocks, axis=1)
 
 
@@ -259,7 +286,7 @@ def multilevel_roi_align_pallas(pyramid, scales, rois, pooled,
             sampling_ratio, k_min, k_max, canonical_scale, canonical_level,
             window_y, window_x, canvas.dtype, align_x=8)
 
-    start_y, start_x, vy, vx = jax.vmap(params_one)(rois)
+    start_y, start_x, vy, vx, _ = jax.vmap(params_one)(rois)
     img_idx = jnp.broadcast_to(
         jnp.arange(B, dtype=jnp.int32)[:, None], (B, R))
     starts = jnp.stack(
@@ -278,6 +305,180 @@ def multilevel_roi_align_pallas(pyramid, scales, rois, pooled,
                              pooled, rois_per_step=rois_per_step,
                              interpret=interpret, out_qp=out_qp)
     return out[:N].reshape(B, R, pooled, pooled, C)
+
+
+# ---------------------------------------------------------------------------
+# Window-shape rung ladder: exact RoIAlign for elongated RoIs via per-rung
+# segmented kernel sweeps over a rung-sorted RoI order
+# ---------------------------------------------------------------------------
+
+def _ladder_shapes(rungs, top_shape, wy_base):
+    """Final ladder = mid-level rungs + a TOP rung sized to cover the whole
+    top level (the full-canvas trick: its window equals the top level's
+    padded block, so top RoIs of ANY extent are exact)."""
+    H_top, W_top = top_shape
+    hp_top = max(H_top, wy_base)
+    wx_top = -(-(W_top + 8) // 8) * 8
+    return list(rungs) + [(hp_top, wx_top)]
+
+
+def _rung_sort(rid, n_rungs, n, J):
+    """Rung-contiguous slot layout. rid: (n,) int32 rung per RoI.
+    Returns (slot_src (N2,) RoI index per slot (dummy slots read RoI 0),
+    inv_pos (n,) slot per RoI, seg_steps (n_rungs, 2) [lo, hi) grid-step
+    range per rung). Each rung's segment is padded to a multiple of the
+    J RoIs the kernel processes per grid step, so segments are
+    step-aligned; N2 = (ceil(n/J) + n_rungs) * J bounds the padded total
+    statically."""
+    N2 = (-(-n // J) + n_rungs) * J
+    order = jnp.argsort(rid, stable=True)
+    sorted_rid = rid[order]
+    counts = jnp.sum(rid[None, :] == jnp.arange(n_rungs)[:, None], axis=1)
+    padded = -(-counts // J) * J
+    seg_start = jnp.concatenate(
+        [jnp.zeros(1, counts.dtype), jnp.cumsum(padded)])[:-1]
+    unp_start = jnp.concatenate(
+        [jnp.zeros(1, counts.dtype), jnp.cumsum(counts)])[:-1]
+    pos = (seg_start[sorted_rid] + jnp.arange(n) -
+           unp_start[sorted_rid]).astype(jnp.int32)
+    slot_src = jnp.zeros(N2, jnp.int32).at[pos].set(
+        order.astype(jnp.int32))
+    inv_pos = jnp.zeros(n, jnp.int32).at[order].set(pos)
+    seg_steps = jnp.stack(
+        [seg_start // J, (seg_start + padded) // J], axis=-1).astype(
+            jnp.int32)
+    return slot_src, inv_pos, seg_steps
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pooled", "sampling_ratio", "k_min", "k_max", "rungs",
+                     "rois_per_step", "canonical_scale", "canonical_level",
+                     "interpret", "out_qp", "return_perm"),
+)
+def multilevel_roi_align_pallas_ladder(
+        pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
+        canonical_scale=224, canonical_level=4,
+        rungs=((32, 40), (64, 48), (32, 96)), rois_per_step=8,
+        interpret=False, out_qp=False, return_perm=False):
+    """Batched Pallas RoIAlign with a per-RoI-shape WINDOW LADDER.
+
+    Each RoI is assigned the first rung (window_y, window_x) whose window
+    fully covers its samples (window_params' exact-coverage flag), with a
+    whole-top-level rung appended for top-assigned RoIs. RoIs are sorted
+    rung-contiguously; each rung runs ONE segmented kernel sweep
+    (ops/pallas/roi_align_kernel.roi_window_pool_seg) that computes only
+    its own step range and chains into a shared output buffer via
+    aliasing. Net: the ~85% common case pays the small (32, 40) window's
+    DMA; elongated RoIs get exactly the window they need. Exact for every
+    RoI some rung covers (defaults: one-axis feature extent <= ~61 tall /
+    ~86 wide, i.e. aspect ratios to ~5-9 at band-top sizes — beyond the
+    reference's observed data); beyond-ladder slivers clamp in the most
+    capable rung (documented residual; the XLA hybrid covers them via
+    gather fixup).
+
+    Returns (B, R, P, P, C) — or, with return_perm=True,
+    (buf (N2, P, P, C) in SORTED slot order, inv_pos (B*R,) slot index per
+    original RoI) so callers can run per-RoI heads on the slot layout and
+    un-permute the (much smaller) head outputs instead of the pooled
+    features. Replaces the reference's exact CUDA RoIAlign
+    (lib/modeling/roi_xfrom/roi_align) at full fidelity for practical
+    shapes."""
+    from detectron_tpu.ops.pallas import roi_align_kernel as rk
+
+    assert sampling_ratio > 0
+    B, R = rois.shape[:2]
+    C = pyramid[0].shape[-1]
+    J = rois_per_step
+    n = B * R
+
+    wy_base = rungs[0][0]
+    ladder = _ladder_shapes(rungs, pyramid[-1].shape[1:3], wy_base)
+    n_rungs = len(ladder)
+    wy_max = max(w for w, _ in ladder)
+    wx_max = max(w for _, w in ladder)
+
+    hp_last = max(pyramid[-1].shape[1], wy_base)
+    canvas = build_canvas_batched(
+        pyramid, wy_base, wx_max, overhang_y=max(0, wy_max - hp_last))
+    Wc = canvas.shape[2]
+    heights, widths, row_off, pad_rows = _canvas_meta(
+        [f[0] for f in pyramid], wy_base)
+
+    # Per-rung window params for ALL RoIs (vectorized; the kernel only
+    # reads the active segment's rows).
+    params = []
+    for wy, wx in ladder:
+        def one(r, wy=wy, wx=wx):
+            return window_params(
+                r, scales, heights, widths, row_off, pad_rows, Wc, pooled,
+                sampling_ratio, k_min, k_max, canonical_scale,
+                canonical_level, wy, wx, canvas.dtype, align_x=8)
+
+        sy, sx, vy, vx, ok = jax.vmap(one)(rois)
+        img = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], (B, R))
+        starts = jnp.stack([img, sy, sx], axis=-1).reshape(n, 3)
+        params.append((starts, vy.reshape(n, pooled, wy),
+                       vx.reshape(n, pooled, wx), ok.reshape(n)))
+
+    # First-covering-rung assignment; beyond-ladder RoIs fall back to the
+    # rung with the most capability along their deficient axis.
+    rid = jnp.full((n,), n_rungs - 1, jnp.int32)
+    any_ok = jnp.zeros((n,), bool)
+    for r in range(n_rungs - 1, -1, -1):
+        rid = jnp.where(params[r][3], jnp.int32(r), rid)
+        any_ok = any_ok | params[r][3]
+    lvl = roi_levels(rois.astype(jnp.float32), k_min, k_max,
+                     canonical_scale, canonical_level).reshape(n)
+    sc = jnp.asarray(scales, jnp.float32)[lvl - k_min]
+    rois_f = rois.astype(jnp.float32).reshape(n, 4)
+    ex = (rois_f[:, 2] - rois_f[:, 0]) * sc
+    ey = (rois_f[:, 3] - rois_f[:, 1]) * sc
+    widest = max(range(n_rungs), key=lambda i: ladder[i][1])
+    tallest = max(range(n_rungs), key=lambda i: ladder[i][0])
+    rid = jnp.where(any_ok, rid,
+                    jnp.where(ex >= ey, jnp.int32(widest),
+                              jnp.int32(tallest)))
+
+    slot_src, inv_pos, seg_steps = _rung_sort(rid, n_rungs, n, J)
+    N2 = slot_src.shape[0]
+
+    buf = None
+    sweeps = []
+    for r, (wy, wx) in enumerate(ladder):
+        starts_r = params[r][0][slot_src]
+        vy_r = params[r][1][slot_src]
+        vx_r = params[r][2][slot_src]
+        out_r = rk.roi_window_pool_seg(
+            canvas, None if interpret else buf, seg_steps[r], starts_r,
+            vy_r, vx_r, wy, wx, pooled, rois_per_step=J,
+            interpret=interpret, out_qp=out_qp)
+        if interpret:
+            sweeps.append(out_r[:N2])
+        else:
+            buf = out_r
+
+    if interpret:
+        # Aliasing semantics aren't guaranteed under interpret: merge the
+        # sweeps by each slot's rung instead (CPU test path only).
+        slot_rung = jnp.full((N2,), n_rungs - 1, jnp.int32)
+        step_idx = jnp.arange(N2, dtype=jnp.int32) // J
+        for r in range(n_rungs):
+            in_seg = (step_idx >= seg_steps[r, 0]) & \
+                (step_idx < seg_steps[r, 1])
+            slot_rung = jnp.where(in_seg, jnp.int32(r), slot_rung)
+        buf = sweeps[-1]
+        for r in range(n_rungs - 1):
+            buf = jnp.where((slot_rung == r)[:, None, None, None],
+                            sweeps[r], buf)
+    else:
+        buf = buf[:N2]
+
+    if return_perm:
+        return buf, inv_pos
+    out = buf[inv_pos].reshape(B, R, pooled, pooled, C)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -307,7 +508,7 @@ def _pallas_window_params_batched(pyramid_shapes, scales, rois, pooled,
             window_y, window_x, dtype, align_x=8)
 
     B, R = rois.shape[:2]
-    start_y, start_x, vy, vx = jax.vmap(params_one)(rois)
+    start_y, start_x, vy, vx, _ = jax.vmap(params_one)(rois)
     img_idx = jnp.broadcast_to(
         jnp.arange(B, dtype=jnp.int32)[:, None], (B, R))
     starts = jnp.stack(
@@ -448,7 +649,13 @@ def multilevel_roi_align_hybrid(pyramid, scales, rois, pooled,
                                 sampling_ratio, k_min, k_max,
                                 canonical_scale=224, canonical_level=4,
                                 window=32, chunk=256):
-    """ONE image. Exact Detectron RoIAlign for every RoI size."""
+    """ONE image. Exact Detectron RoIAlign for EVERY RoI: windowed slicing
+    below the top level + dense whole-level top + a gather-path fixup for
+    the rare RoIs whose samples the window cannot cover (elongated
+    mid-level RoIs). The fixup branch (ops/multilevel_roi.py — exact for
+    any RoI shape) runs under lax.cond, so batches with no such RoI (the
+    overwhelmingly common case) pay nothing for it."""
+    from detectron_tpu.ops import multilevel_roi as ml
     from detectron_tpu.ops import roi_align as ra
 
     if len(pyramid) == 1:
@@ -456,16 +663,29 @@ def multilevel_roi_align_hybrid(pyramid, scales, rois, pooled,
                             sampling_ratio)
     _warn_if_window_small(window, canonical_scale, canonical_level,
                           sampling_ratio)
-    out_win = multilevel_roi_align_windowed(
+    out_win, win_ok = multilevel_roi_align_windowed(
         pyramid[:-1], scales[:-1], rois, pooled, sampling_ratio,
         k_min, k_max - 1, canonical_scale=canonical_scale,
-        canonical_level=canonical_level, window=window, chunk=chunk)
+        canonical_level=canonical_level, window=window, chunk=chunk,
+        return_ok=True)
     out_top = ra.roi_align(pyramid[-1], rois, scales[-1], pooled, pooled,
                            sampling_ratio)
     lvl = roi_levels(rois.astype(jnp.float32), k_min, k_max,
                      canonical_scale, canonical_level)
-    is_top = (lvl == k_max)[:, None, None, None]
-    return jnp.where(is_top, out_top, out_win)
+    is_top = lvl == k_max
+    out = jnp.where(is_top[:, None, None, None], out_top, out_win)
+
+    need_fix = (~win_ok) & (~is_top)
+
+    def fixup():
+        return ml.multilevel_roi_align(
+            pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
+            canonical_scale=canonical_scale, canonical_level=canonical_level,
+            chunk=chunk).astype(out.dtype)
+
+    out_fix = jax.lax.cond(jnp.any(need_fix), fixup,
+                           lambda: jnp.zeros_like(out))
+    return jnp.where(need_fix[:, None, None, None], out_fix, out)
 
 
 def multilevel_roi_align_pallas_hybrid(pyramid, scales, rois, pooled,

@@ -272,13 +272,12 @@ def test_hybrid_exact_for_oversize_rois():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_windowed_clamp_error_bound_elongated():
-    """DOCUMENTED LIMITATION (TODO.md): elongated MID-LEVEL RoIs whose
-    one-axis feature extent exceeds the usable window (~30 cells) clamp
-    their outer samples at the window edge. The hybrid path fixes only
-    top-clamped RoIs. This test pins the behavior: moderate shapes are
-    exact; the elongated cases' error is bounded and localized to the
-    outer pooled bins (inner bins stay exact)."""
+def test_windowed_hybrid_exact_elongated():
+    """The hybrid path is EXACT for every RoI shape, including elongated
+    mid-level RoIs whose one-axis feature extent exceeds the window: those
+    route through the gather-path fixup (window_params' per-RoI coverage
+    flag + lax.cond). This test used to pin the clamp error the old path
+    had (round-2 VERDICT missing #3); it now asserts full exactness."""
     from detectron_tpu.ops import multilevel_roi as ml
     from detectron_tpu.ops import windowed_roi as win
 
@@ -296,41 +295,37 @@ def test_windowed_clamp_error_bound_elongated():
         h = s / np.sqrt(aspect)
         return [30.0, 20.0, 30.0 + w, 20.0 + h]
 
-    # Exact for all sizes at aspect <= 2 below band-top, and at any size
-    # for aspect 1 (extent <= 28.8 < usable 30).
-    exact_rois = jnp.asarray(np.array(
+    # Moderate shapes (window-covered), elongated band-top RoIs (aspect
+    # 3-4 — the old clamp cases), and extreme slivers (aspect 16-25, wide
+    # and tall) — ALL must match the exact gather reference.
+    rois = jnp.asarray(np.array(
         [build(s, r) for s in (60.0, 150.0) for r in (1.0, 0.5)]
-        + [build(220.0, 1.0), build(150.0, 2.0)], np.float32))
-    ref = ml.multilevel_roi_align(
-        pyramid, scales, exact_rois, 7, 2, 2, 5, canonical_scale=224,
-        canonical_level=4, chunk=8)
-    out = win.multilevel_roi_align_hybrid(
-        pyramid, scales, exact_rois, 7, 2, 2, 5, canonical_scale=224,
-        canonical_level=4, window=32, chunk=8)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-4, atol=1e-4)
-
-    # Elongated band-top RoIs (P3 band, aspect 3-4): outer bins clamp.
-    # Pin that the error exists (so a future fix flips this test to full
-    # exactness deliberately) and that INNER bins (samples well inside the
-    # window) remain exact.
-    elong = jnp.asarray(np.array(
-        [build(200.0, 4.0), build(200.0, 0.25)], np.float32))
-    ref_e = np.asarray(ml.multilevel_roi_align(
-        pyramid, scales, elong, 7, 2, 2, 5, canonical_scale=224,
+        + [build(220.0, 1.0), build(150.0, 2.0),
+           build(200.0, 4.0), build(200.0, 0.25),
+           build(180.0, 16.0), build(180.0, 1.0 / 16.0),
+           [5.0, 300.0, 1200.0, 340.0],      # 1196x41 px sliver
+           [500.0, 5.0, 540.0, 790.0]],      # 41x786 px sliver
+        np.float32))
+    ref = np.asarray(ml.multilevel_roi_align(
+        pyramid, scales, rois, 7, 2, 2, 5, canonical_scale=224,
         canonical_level=4, chunk=8))
-    out_e = np.asarray(win.multilevel_roi_align_hybrid(
-        pyramid, scales, elong, 7, 2, 2, 5, canonical_scale=224,
+    out = np.asarray(win.multilevel_roi_align_hybrid(
+        pyramid, scales, rois, 7, 2, 2, 5, canonical_scale=224,
         canonical_level=4, window=32, chunk=8))
-    err = np.abs(out_e - ref_e)
-    assert err.max() > 0.1, "clamping fixed? update TODO.md + this test"
-    # Wide RoI (first): x-samples beyond the window clamp -> error only in
-    # high-q bins; the first pooled columns are exact.
-    np.testing.assert_allclose(out_e[0][:, :2], ref_e[0][:, :2],
-                               rtol=1e-4, atol=1e-4)
-    # Tall RoI (second): error only in high-p bins.
-    np.testing.assert_allclose(out_e[1][:2, :], ref_e[1][:2, :],
-                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    # The fixup must be DORMANT for window-covered batches: with only
+    # moderate RoIs the cond's fixup branch is untaken (can't observe the
+    # branch directly; assert exactness again as a guard that the routing
+    # didn't misclassify anything).
+    mod = rois[:6]
+    ref_m = np.asarray(ml.multilevel_roi_align(
+        pyramid, scales, mod, 7, 2, 2, 5, canonical_scale=224,
+        canonical_level=4, chunk=8))
+    out_m = np.asarray(win.multilevel_roi_align_hybrid(
+        pyramid, scales, mod, 7, 2, 2, 5, canonical_scale=224,
+        canonical_level=4, window=32, chunk=8))
+    np.testing.assert_allclose(out_m, ref_m, rtol=1e-4, atol=1e-4)
 
 
 def test_pallas_out_qp_transposed_output():

@@ -1,0 +1,126 @@
+"""Window-rung-ladder Pallas RoIAlign (ops/windowed_roi.py ::
+multilevel_roi_align_pallas_ladder) vs the exact gather reference: the
+ladder must be EXACT for every practically-shaped RoI, including the
+elongated mid-level RoIs the single-window path used to clamp (reference:
+lib/modeling/roi_xfrom/roi_align is exact for all RoIs). Runs the kernels
+in interpret mode on CPU (the conftest pins the CPU backend); the TPU
+aliasing merge is exercised on hardware by bench/tools runs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from detectron_tpu.ops import multilevel_roi as ml
+from detectron_tpu.ops import windowed_roi as win
+
+SCALES = (0.125, 0.0625, 0.03125, 0.015625)
+
+
+def _pyramid(rng, B, C=8):
+    return [jnp.asarray(rng.randn(B, h, w, C).astype(np.float32))
+            for h, w in ((104, 168), (52, 84), (26, 42), (13, 21))]
+
+
+def _build(s, aspect, x=30.0, y=20.0):
+    w = s * np.sqrt(aspect)
+    h = s / np.sqrt(aspect)
+    return [x, y, x + w, y + h]
+
+
+def _ref(pyr, rois):
+    B = rois.shape[0]
+    return np.stack([np.asarray(ml.multilevel_roi_align(
+        [f[b] for f in pyr], SCALES, rois[b], 7, 2, 2, 5,
+        canonical_scale=224, canonical_level=4, chunk=8))
+        for b in range(B)])
+
+
+def _ladder(pyr, rois, **kw):
+    return win.multilevel_roi_align_pallas_ladder(
+        pyr, SCALES, rois, 7, 2, 2, 5, canonical_scale=224,
+        canonical_level=4, interpret=True, **kw)
+
+
+def test_ladder_exact_all_shapes():
+    """Moderate + elongated (aspect up to 8) + big top-level RoIs across
+    two images with different rung mixes: all exact."""
+    rng = np.random.RandomState(3)
+    B = 2
+    pyr = _pyramid(rng, B)
+    rois_np = np.array([
+        [_build(s, a) for s in (120.0, 300.0, 440.0)
+         for a in (1.0, 0.5, 2.0)]
+        + [_build(400.0, 4.0), _build(400.0, 0.25), _build(900.0, 1.0),
+           _build(360.0, 8.0), _build(300.0, 3.0),
+           _build(250.0, 1.0, 200, 300), _build(90.0, 1.0)]
+        for _ in range(B)], np.float32)
+    rois_np[1] = rois_np[1][::-1].copy()  # different slot layout per image
+    rois = jnp.asarray(rois_np)
+
+    out = np.asarray(_ladder(pyr, rois))
+    np.testing.assert_allclose(out, _ref(pyr, rois), rtol=1e-4, atol=2e-4)
+
+
+def test_ladder_return_perm_consistent():
+    """return_perm=True gives the sorted slot buffer + inverse positions;
+    gathering by inv_pos must reproduce the direct output bit-exactly."""
+    rng = np.random.RandomState(4)
+    B = 2
+    pyr = _pyramid(rng, B)
+    rois = jnp.asarray(np.array([
+        [_build(s, a) for s in (150.0, 400.0) for a in (1.0, 4.0, 0.25)]
+        + [_build(900.0, 1.0), _build(120.0, 1.0)]
+        for _ in range(B)], np.float32))
+
+    out = np.asarray(_ladder(pyr, rois))
+    buf, inv = _ladder(pyr, rois, return_perm=True)
+    out2 = np.asarray(buf)[np.asarray(inv)].reshape(out.shape)
+    np.testing.assert_array_equal(out2, out)
+    # every original RoI maps to a distinct slot, none to the dummy tail
+    inv = np.asarray(inv)
+    assert len(set(inv.tolist())) == inv.size
+    assert inv.max() < np.asarray(buf).shape[0]
+
+
+def test_ladder_out_qp_transposed():
+    rng = np.random.RandomState(5)
+    B = 1
+    pyr = _pyramid(rng, B)
+    rois = jnp.asarray(np.array([
+        [_build(150.0, 1.0), _build(400.0, 4.0), _build(900.0, 1.0),
+         _build(200.0, 0.33)]], np.float32))
+    out = np.asarray(_ladder(pyr, rois))
+    out_qp = np.asarray(_ladder(pyr, rois, out_qp=True))
+    np.testing.assert_array_equal(out_qp.swapaxes(2, 3), out)
+
+
+def test_ladder_single_rung_degenerate():
+    """All RoIs in one rung (uniform moderate sizes): the other rungs'
+    sweeps are fully inactive — output must still be exact."""
+    rng = np.random.RandomState(6)
+    B = 1
+    pyr = _pyramid(rng, B)
+    rois = jnp.asarray(np.array([
+        [_build(s, 1.0, 10.0 * i, 5.0 * i) for i, s in
+         enumerate((120.0, 130.0, 140.0, 150.0, 160.0, 170.0, 180.0,
+                    190.0))]], np.float32))
+    out = np.asarray(_ladder(pyr, rois))
+    np.testing.assert_allclose(out, _ref(pyr, rois), rtol=1e-4, atol=2e-4)
+
+
+def test_ladder_beyond_ladder_sliver_bounded():
+    """A sliver beyond every rung's coverage (aspect ~37 at band-top) must
+    not crash, must stay finite, and must still be exact in the bins its
+    fallback rung covers; everything else in the batch stays exact."""
+    rng = np.random.RandomState(7)
+    B = 1
+    pyr = _pyramid(rng, B)
+    rois = jnp.asarray(np.array([
+        [_build(150.0, 1.0), [5.0, 300.0, 1300.0, 330.0],
+         _build(400.0, 1.0), _build(200.0, 2.0)]], np.float32))
+    out = np.asarray(_ladder(pyr, rois))
+    ref = _ref(pyr, rois)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out[:, [0, 2, 3]], ref[:, [0, 2, 3]],
+                               rtol=1e-4, atol=2e-4)
