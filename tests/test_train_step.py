@@ -221,23 +221,58 @@ def test_gn_params_train_when_use_gn():
     config.merge_cfg_from_list(["RESNETS.USE_GN", "False"])
 
 
-def test_grad_accumulation_matches_big_batch_direction():
-    """iter_size accumulation: 2 inner microbatches produce finite losses
-    and an update; the accumulated grads average the inner losses (the
-    reference's --iter_size contract)."""
+def test_grad_accumulation_equivalent_to_averaged_microbatch_grads():
+    """The --iter_size contract, proven: one accumulating step over k
+    stacked microbatches must equal ONE optimizer update on the AVERAGE of
+    the k per-microbatch gradients (each computed with the step's own
+    fold_in(rng, i) — the exact big-batch-gradient semantics of the
+    reference's inner iter_size loop). A missing /iter_size (2x grads) or a
+    dropped microbatch fails this within two updates."""
+    from detectron_tpu.models import train_graph
+
     _tiny_train_cfg()
     mesh = mesh_mod.make_mesh(1)
     params = mb.init_model(jax.random.PRNGKey(0))
     opt_state = opt.init_opt_state(params)
-    b = _tiny_batch()
-    stacked = jax.tree.map(lambda x: jnp.stack([x, x]), b)
+    b0 = _tiny_batch()
+    # Distinct microbatches: perturb the image so grads differ.
+    b1 = dict(b0)
+    b1["images"] = b0["images"] + 0.5
+    stacked = jax.tree.map(lambda x, y: jnp.stack([x, y]), b0, b1)
+
+    # Reference: explicit averaged-gradient updates (2 of them).
+    @jax.jit
+    def manual_step(p, o, rng):
+        def gfn(pp, bb, rr):
+            total, _ = train_graph.training_losses(pp, bb, rr)
+            return total
+        g0 = jax.grad(gfn)(p, b0, jax.random.fold_in(rng, 0))
+        g1 = jax.grad(gfn)(p, b1, jax.random.fold_in(rng, 1))
+        gavg = jax.tree.map(lambda a, c: (a + c) / 2.0, g0, g1)
+        return opt.apply_updates(p, gavg, o)[:2]
+
+    p_ref, o_ref = params, opt_state
+    for it in range(2):
+        p_ref, o_ref = manual_step(p_ref, o_ref,
+                                   jax.random.PRNGKey(100 + it))
+
     with mesh:
-        step = ts.make_pjit_train_step_accum(mesh, iter_size=2)
-        p2, o2, stats = step(params, opt_state, stacked,
-                             jax.random.PRNGKey(1))
+        step = ts.make_pjit_train_step_accum(mesh, iter_size=2,
+                                             donate=False)
+        p2, o2 = params, opt_state
+        for it in range(2):
+            p2, o2, stats = step(p2, o2, stacked,
+                                 jax.random.PRNGKey(100 + it))
     for k, v in stats.items():
         assert np.isfinite(np.asarray(v)).all(), k
-    assert int(np.asarray(o2["step"])) == 1
+    assert int(np.asarray(o2["step"])) == 2
+
+    flat_ref = jax.tree.leaves(p_ref)
+    flat_acc = jax.tree.leaves(p2)
+    for a, c in zip(flat_ref, flat_acc):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(c, np.float32),
+                                   rtol=2e-5, atol=2e-6)
 
 
 def test_fast_rcnn_mode_training_from_proposals():
