@@ -353,6 +353,20 @@ __C.TPU.REMAT_BODY = False
 # top level are handled exactly by dense whole-level interpolation (the
 # hybrid path in ops/windowed_roi.py), so no RoI ever clamps its samples.
 __C.TPU.ROI_WINDOW = 32
+# Window-shape rung LADDER for the pallas RoI path: RoIs are rung-sorted and
+# each rung runs a segmented kernel sweep with exactly the window shape it
+# needs (ops/windowed_roi.py :: multilevel_roi_align_pallas_ladder). The
+# common case pays a smaller (32, 40) window than the single-window path's
+# uniform full-canvas width, and elongated mid-level RoIs (which the
+# single-window path CLAMPS) become exact. Matches the reference CUDA
+# RoIAlign exactness (lib/modeling/roi_xfrom/roi_align) for every practical
+# RoI shape.
+__C.TPU.ROI_LADDER = True
+# The mid-level rung shapes (window_y, window_x), tried in order; a
+# whole-top-level rung is appended automatically. Defaults cover one-axis
+# feature extents to ~61 tall / ~86 wide (aspect ratios ~5-9 at band-top
+# sizes). window_x must be a multiple of 8 (sublane alignment).
+__C.TPU.ROI_RUNGS = ((32, 40), (64, 48), (32, 96))
 # Space-to-depth stem: compute the 7x7/s2 stem conv as the mathematically
 # identical 4x4/s1 conv on 2x2-blocked input (12 channels) — the MLPerf-era
 # TPU trick. MEASURED SLOWER here (v5e, 832x1344 batch 32: +4.6 ms vs the

@@ -107,45 +107,8 @@ def _detect_tail(params, features, scales, rois, roi_valid, im_info):
     boxes_c = jnp.swapaxes(cls_boxes, 1, 2)  # (B, C-1, R, 4)
     scores_c = jnp.swapaxes(thresh_scores, 1, 2)  # (B, C-1, R)
 
-    # Pre-top-k per class before NMS: greedy NMS survivors beyond rank K are
-    # only possible if >K-D boxes of one class clear SCORE_THRESH and nearly
-    # all get suppressed — vanishingly rare at K >= 4D; cuts NMS IoU work
-    # ~ (R/K)^2.
-    K = min(scores_c.shape[-1], max(4 * D, 128))
-    # Joint stable sort of (score, x1, y1, x2, y2) instead of top_k +
-    # take_along_axis: the (B, C-1, R, 4) box gather alone measured
-    # 8.4 ms/batch on v5e (xprof fusion.30) vs ~3 ms for the 5-operand
-    # sort, and the mask-NMS tail needs no indices back into R. Stable
-    # ascending sort on -score == top_k's lowest-index tie order.
-    L = B * (C - 1)
-    sorted_ops = jax.lax.sort(
-        [-scores_c.reshape(L, R)]
-        + [boxes_c.reshape(L, R, 4)[..., j] for j in range(4)],
-        dimension=1, num_keys=1, is_stable=True)
-    top_s = -sorted_ops[0][:, :K].reshape(B, C - 1, K)
-    top_b = jnp.stack([o[:, :K] for o in sorted_ops[1:]],
-                      axis=-1).reshape(B, C - 1, K, 4)
-    # NMS returns a keep MASK in place (no compacted indices): the three
-    # take_along_axis gathers the compaction forced downstream measured
-    # ~13 ms/batch on v5e — masked scores + one cross-class top-D replace
-    # them with elementwise selects. This also drops the per-class D cap
-    # the compacted form imposed before the global limit (the reference
-    # caps across classes only), so it is the more faithful tail.
-    keep = nms_ops.nms_batched_sorted_mask(
-        top_b.reshape(B * (C - 1), K, 4),
-        top_s.reshape(B * (C - 1), K),
-        cfg.TEST.NMS, tile_size=cfg.TPU.NMS_TILE_SIZE).reshape(B, C - 1, K)
-    kept_scores = jnp.where(keep, top_s, -jnp.inf)
-
-    # Global top-D across classes (reference: limit to DETECTIONS_PER_IM).
-    flat_scores = kept_scores.reshape(B, -1)
-    flat_boxes = top_b.reshape(B, -1, 4)
-    top_scores, top_idx = jax.lax.top_k(flat_scores, D)
-    out_boxes = jnp.take_along_axis(flat_boxes, top_idx[..., None], axis=1)
-    out_classes = (top_idx // K + 1).astype(jnp.int32)
-    out_valid = jnp.isfinite(top_scores)
-    out_scores = jnp.where(out_valid, top_scores, 0.0)
-    out_boxes = out_boxes * out_valid[..., None]
+    out_scores, out_boxes, out_classes, out_valid = nms_and_limit_graph(
+        boxes_c, scores_c, D)
 
     out = {
         "boxes": out_boxes,
@@ -161,6 +124,76 @@ def _detect_tail(params, features, scales, rois, roi_valid, im_info):
         out["kps_heatmaps"] = keypoint_graph(params, features, scales,
                                              out_boxes)
     return out
+
+
+def nms_and_limit_graph(boxes_c, scores_c, D):
+    """In-graph per-class NMS + cross-class top-D (reference:
+    lib/core/test.py :: box_results_with_nms_and_limit, hard-NMS mode).
+    boxes_c: (B, C-1, R, 4); scores_c: (B, C-1, R) with -inf below
+    SCORE_THRESH. Returns (scores (B, D), boxes (B, D, 4), classes (B, D)
+    1-based, valid (B, D))."""
+    B, Cm1, R = scores_c.shape
+
+    # Pre-top-k per class before NMS: suppression decisions inside the top
+    # K ranks are EXACT regardless of truncation (suppressors are always
+    # higher-ranked), so truncation can only LOSE a box at rank > K — which
+    # matters only when > K boxes of one class clear SCORE_THRESH and
+    # nearly all of the top K get suppressed. That needs > K-D one-class
+    # boxes — vanishingly rare at K >= 4D with real score distributions,
+    # and when it DOES happen the lax.cond below re-runs the tail
+    # untruncated (exact match with the reference's NMS-everything host
+    # path at all times; the full branch costs ~(R/K)^2 more IoU work but
+    # executes only on overflow batches).
+    # Joint stable sort of (score, x1, y1, x2, y2) instead of top_k +
+    # take_along_axis: the (B, C-1, R, 4) box gather alone measured
+    # 8.4 ms/batch on v5e (xprof fusion.30) vs ~3 ms for the 5-operand
+    # sort, and the mask-NMS tail needs no indices back into R. Stable
+    # ascending sort on -score == top_k's lowest-index tie order.
+    L = B * Cm1
+    sorted_ops = jax.lax.sort(
+        [-scores_c.reshape(L, R)]
+        + [boxes_c.reshape(L, R, 4)[..., j] for j in range(4)],
+        dimension=1, num_keys=1, is_stable=True)
+
+    def nms_limit_tail(K):
+        top_s = -sorted_ops[0][:, :K].reshape(B, Cm1, K)
+        top_b = jnp.stack([o[:, :K] for o in sorted_ops[1:]],
+                          axis=-1).reshape(B, Cm1, K, 4)
+        # NMS returns a keep MASK in place (no compacted indices): the
+        # three take_along_axis gathers the compaction forced downstream
+        # measured ~13 ms/batch on v5e — masked scores + one cross-class
+        # top-D replace them with elementwise selects. This also drops the
+        # per-class D cap the compacted form imposed before the global
+        # limit (the reference caps across classes only), so it is the
+        # more faithful tail.
+        keep = nms_ops.nms_batched_sorted_mask(
+            top_b.reshape(B * Cm1, K, 4),
+            top_s.reshape(B * Cm1, K),
+            cfg.TEST.NMS,
+            tile_size=cfg.TPU.NMS_TILE_SIZE).reshape(B, Cm1, K)
+        kept_scores = jnp.where(keep, top_s, -jnp.inf)
+
+        # Global top-D across classes (reference: DETECTIONS_PER_IM).
+        flat_scores = kept_scores.reshape(B, -1)
+        flat_boxes = top_b.reshape(B, -1, 4)
+        top_scores, top_idx = jax.lax.top_k(flat_scores, D)
+        ob = jnp.take_along_axis(flat_boxes, top_idx[..., None], axis=1)
+        oc = (top_idx // K + 1).astype(jnp.int32)
+        return top_scores, ob, oc
+
+    K = min(R, max(4 * D, 128))
+    if K == R:
+        top_scores, out_boxes, out_classes = nms_limit_tail(R)
+    else:
+        n_above = jnp.sum(jnp.isfinite(scores_c), axis=-1)  # (B, C-1)
+        top_scores, out_boxes, out_classes = jax.lax.cond(
+            jnp.any(n_above > K),
+            lambda: nms_limit_tail(R),
+            lambda: nms_limit_tail(K))
+    out_valid = jnp.isfinite(top_scores)
+    out_scores = jnp.where(out_valid, top_scores, 0.0)
+    out_boxes = out_boxes * out_valid[..., None]
+    return out_scores, out_boxes, out_classes, out_valid
 
 
 def detect_raw(params, images, im_info):

@@ -149,7 +149,7 @@ class TrainLoader:
     """
 
     def __init__(self, roidb, batch_size, seed=None, prefetch=4,
-                 num_threads=None):
+                 num_threads=None, start_batch=0):
         self.roidb = roidb
         self.batch_size = batch_size
         self.rng = np.random.RandomState(
@@ -165,10 +165,26 @@ class TrainLoader:
         self._deliver_ticket = 0
         self._reorder = {}
         self._epoch_order()
+        if start_batch:
+            self._fast_forward(start_batch)
         for _ in range(max(1, self.num_threads)):
             t = threading.Thread(target=self._worker, daemon=True)
             t.start()
             self._threads.append(t)
+
+    def _fast_forward(self, n):
+        """Advance the sampler past n already-consumed batches (exact
+        `--resume`): the stream state is fully determined by (seed, batches
+        consumed), so replaying the epoch shuffles and per-batch seed draws
+        — without building any minibatch — reproduces the uninterrupted
+        run's data order from batch n on. The reference's loader (and a
+        plain re-init here) restarts its stream from epoch start instead,
+        so resumed runs saw different data than uninterrupted ones."""
+        for _ in range(n):
+            if self._cursor >= len(self._order):
+                self._epoch_order()
+            self._cursor += 1
+            self.rng.randint(0, 2**31 - 1)
 
     def _epoch_order(self):
         if cfg.TRAIN.ASPECT_GROUPING:

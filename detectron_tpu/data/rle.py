@@ -113,6 +113,56 @@ def encode(mask):
             "counts": counts_to_string(encode_counts(mask))}
 
 
+def encode_crop(crop, x0, y0, h, w):
+    """RLE-encode a binary CROP pasted at (y0, x0) into an all-zero (h, w)
+    image, without materializing the image: O(crop) instead of O(h*w).
+
+    This is the detection hot path (reference lib/core/test.py ::
+    segm_results pastes each mask into a full-image canvas and encodes all
+    h*w pixels; for a 100-detection image that touches 100x the image
+    area). Run boundaries can only occur inside the crop's columns, at
+    value flips down each column and at the crop's top/bottom edges; the
+    flip positions, taken in column-major order, ARE the run boundaries of
+    the virtual full image. Bit-identical to encode(paste(crop)) — pinned
+    by tests/test_rle.py::test_encode_crop_matches_full_paste."""
+    crop = np.asarray(crop, bool)
+    ch, cw = crop.shape
+    assert 0 <= y0 and 0 <= x0 and y0 + ch <= h and x0 + cw <= w, \
+        "crop must be pre-clipped to the image"
+    n = h * w
+    if ch == 0 or cw == 0 or not crop.any():
+        return {"size": [int(h), int(w)],
+                "counts": counts_to_string([n])}
+    # change[t, j]: the virtual image value flips at row y0+t of column
+    # x0+j (t == ch marks a 1-run ending at the crop's bottom edge).
+    change = np.empty((ch + 1, cw), bool)
+    change[0] = crop[0]
+    np.not_equal(crop[1:], crop[:-1], out=change[1:ch])
+    change[ch] = crop[-1]
+    idx = np.nonzero(change.reshape(-1, order="F"))[0]
+    t = idx % (ch + 1)
+    j = idx // (ch + 1)
+    pos = (x0 + j).astype(np.int64) * h + y0 + t
+    # Full-height crops (y0 == 0, ch == h): a 1-run crossing a column
+    # boundary puts a bottom-edge flip and the next column's top-edge flip
+    # at the SAME position — the virtual value doesn't change there, and
+    # the coincident pair (never a triple) must cancel.
+    if y0 == 0 and ch == h:
+        same = np.nonzero(pos[1:] == pos[:-1])[0]
+        keep = np.ones(pos.size, bool)
+        keep[same] = False
+        keep[same + 1] = False
+        pos = pos[keep]
+    bounds = np.empty(pos.size + 2, np.int64)
+    bounds[0] = 0
+    bounds[1:-1] = pos
+    bounds[-1] = n
+    counts = np.diff(bounds).tolist()
+    if len(counts) > 1 and counts[-1] == 0:
+        counts.pop()  # mask touches the last pixel: no trailing zero run
+    return {"size": [int(h), int(w)], "counts": counts_to_string(counts)}
+
+
 def decode(rle):
     """COCO RLE dict (compressed string or raw counts) -> (H, W) uint8."""
     h, w = rle["size"]

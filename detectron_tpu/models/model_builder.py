@@ -25,6 +25,7 @@ from detectron_tpu.models import fast_rcnn_heads
 from detectron_tpu.models import fpn as fpn_mod
 from detectron_tpu.models import keypoint_rcnn_heads
 from detectron_tpu.models import mask_rcnn_heads
+from detectron_tpu.models import registry
 from detectron_tpu.models import resnet
 from detectron_tpu.models import rpn as rpn_mod
 from detectron_tpu.ops import roi_align as ra_ops
@@ -74,45 +75,41 @@ def init_model(rng):
         if cfg.RPN.RPN_ON:
             params["rpn"] = rpn_mod.init_fpn_rpn(keys[2], cfg.FPN.DIM)
         box_roi_res = cfg.FAST_RCNN.ROI_XFORM_RESOLUTION
-        head_name = cfg.FAST_RCNN.ROI_BOX_HEAD
-        if "roi_2mlp_head" in head_name:
-            params["box_head"] = fast_rcnn_heads.init_roi_2mlp_head(
-                keys[3], cfg.FPN.DIM, box_roi_res)
-            box_out_dim = cfg.FAST_RCNN.MLP_HEAD_DIM
-        elif "Xconv1fc" in head_name:
-            params["box_head"] = fast_rcnn_heads.init_roi_Xconv1fc_head(
-                keys[3], cfg.FPN.DIM, box_roi_res,
-                use_gn="_gn" in head_name)
-            box_out_dim = cfg.FAST_RCNN.MLP_HEAD_DIM
-        else:
-            raise ValueError("Unsupported ROI_BOX_HEAD: " + head_name)
+        # Dotted-name resolution (reference get_func): any module.symbol
+        # with init_/apply_ functions works without edits here.
+        head = registry.get_func(cfg.FAST_RCNN.ROI_BOX_HEAD)
+        params["box_head"] = head.init(keys[3], cfg.FPN.DIM, box_roi_res)
+        box_out_dim = head.out_dim()
     else:
         if cfg.RPN.RPN_ON:
             params["rpn"] = rpn_mod.init_single_scale_rpn(
                 keys[2], spec.body_feat_dim)
         # C4: box head IS res5 (ResNet.ResNet_roi_conv5_head)
-        assert "ResNet_roi_conv5_head" in cfg.FAST_RCNN.ROI_BOX_HEAD or \
-            cfg.FAST_RCNN.ROI_BOX_HEAD == "", \
-            "C4 models use ResNet_roi_conv5_head"
-        params["box_head"] = resnet.init_roi_conv5_head(keys[3], 1024)
-        box_out_dim = 2048
+        head = registry.get_func(
+            cfg.FAST_RCNN.ROI_BOX_HEAD or "ResNet.ResNet_roi_conv5_head")
+        params["box_head"] = head.init(keys[3], 1024)
+        box_out_dim = head.out_dim()
 
     params["box_outs"] = fast_rcnn_heads.init_fast_rcnn_outputs(
         keys[4], box_out_dim)
 
     if cfg.MODEL.MASK_ON:
         mask_in_dim = cfg.FPN.DIM if spec.is_fpn else 1024
-        params["mask_head"] = mask_rcnn_heads.init_mask_head(
-            keys[5], mask_in_dim)
+        mh = registry.get_func(
+            cfg.MRCNN.ROI_MASK_HEAD or
+            "mask_rcnn_heads.mask_rcnn_fcn_head_v1up4convs")
+        params["mask_head"] = mh.init(keys[5], mask_in_dim)
         params["mask_outs"] = mask_rcnn_heads.init_mask_outputs(
-            keys[6], cfg.MRCNN.DIM_REDUCED)
+            keys[6], mh.out_dim())
 
     if cfg.MODEL.KEYPOINTS_ON:
         kps_in_dim = cfg.FPN.DIM if spec.is_fpn else 1024
-        params["kps_head"] = keypoint_rcnn_heads.init_pose_head(
-            keys[7], kps_in_dim)
+        kh = registry.get_func(
+            cfg.KRCNN.ROI_KEYPOINTS_HEAD or
+            "keypoint_rcnn_heads.roi_pose_head_v1convX")
+        params["kps_head"] = kh.init(keys[7], kps_in_dim)
         params["kps_outs"] = keypoint_rcnn_heads.init_keypoint_outputs(
-            jax.random.fold_in(keys[7], 1), cfg.KRCNN.CONV_HEAD_DIM)
+            jax.random.fold_in(keys[7], 1), kh.out_dim())
     return params
 
 
@@ -307,9 +304,24 @@ def roi_feature_transform(params, features, scales, rois, resolution,
 
         from detectron_tpu.ops import windowed_roi as win_ops
 
-        # Hybrid: Pallas window-DMA kernel below the top level + dense exact
-        # top level (no sample clamping for oversize RoIs). Trainable via
-        # custom_vjp (exact linear-transpose backward).
+        interp = _jax.default_backend() == "cpu"
+        if cfg.TPU.ROI_LADDER and len(roi_feats) > 1:
+            # Window-rung LADDER (default): rung-sorted segmented kernel
+            # sweeps — each RoI gets exactly the window shape it needs, so
+            # elongated mid-level RoIs are exact (the single-window path
+            # clamps them) AND the common case pays a smaller DMA window.
+            # Trainable via custom_vjp (exact gather-transpose backward).
+            rungs = tuple(tuple(r) for r in cfg.TPU.ROI_RUNGS)
+            return win_ops.multilevel_roi_align_ladder_trainable(
+                list(roi_feats), tuple(roi_scales), rois, resolution,
+                sampling_ratio, k_min, k_max,
+                cfg.FPN.ROI_CANONICAL_SCALE, cfg.FPN.ROI_CANONICAL_LEVEL,
+                rungs, 8, interp, out_qp)
+
+        # Single-window hybrid: Pallas window-DMA kernel below the top level
+        # + dense exact top level (no sample clamping for oversize RoIs,
+        # but elongated mid-level RoIs clamp). Trainable via custom_vjp
+        # (exact linear-transpose backward).
         return win_ops.multilevel_roi_align_pallas_hybrid(
             roi_feats, tuple(roi_scales), rois, resolution, sampling_ratio,
             k_min, k_max,
@@ -317,7 +329,7 @@ def roi_feature_transform(params, features, scales, rois, resolution,
             canonical_level=cfg.FPN.ROI_CANONICAL_LEVEL,
             window=cfg.TPU.ROI_WINDOW,
             rois_per_step=8,
-            interpret=_jax.default_backend() == "cpu",
+            interpret=interp,
             trainable=True, out_qp=out_qp)
 
     if out_qp and impl != "pallas":
@@ -377,13 +389,13 @@ def forward_box_outputs(params, features, scales, rois, impl=None):
     B, R = rois.shape[:2]
 
     if spec.is_fpn:
-        head_name = cfg.FAST_RCNN.ROI_BOX_HEAD
-        # The 2mlp head flattens the pooled block into an FC: it can absorb
-        # a (q, p)-transposed pooled layout as a weight-row permutation, so
+        head = registry.get_func(cfg.FAST_RCNN.ROI_BOX_HEAD)
+        # Heads that flatten the pooled block into an FC can absorb a
+        # (q, p)-transposed pooled layout as a weight-row permutation, so
         # the Pallas kernel skips its per-step output transpose (out_qp).
         # Only the RoIAlign pallas path produces (q, p) output; RoIPoolF /
         # RoICrop return early in roi_feature_transform in (p, q) order.
-        use_qp = ("roi_2mlp_head" in head_name
+        use_qp = (head.supports_qp
                   and (impl or cfg.TPU.ROI_IMPL) == "pallas"
                   and cfg.FAST_RCNN.ROI_XFORM_METHOD == "RoIAlign")
         roi_feat = roi_feature_transform(
@@ -392,12 +404,10 @@ def forward_box_outputs(params, features, scales, rois, impl=None):
             cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO, impl=impl,
             out_qp=use_qp)
         flat = roi_feat.reshape((B * R,) + roi_feat.shape[2:])
-        if "roi_2mlp_head" in head_name:
-            feat = fast_rcnn_heads.apply_roi_2mlp_head(
-                params["box_head"], flat, qp_order=use_qp)
+        if head.supports_qp:
+            feat = head.apply(params["box_head"], flat, qp_order=use_qp)
         else:
-            feat = fast_rcnn_heads.apply_roi_Xconv1fc_head(
-                params["box_head"], flat)
+            feat = head.apply(params["box_head"], flat)
     else:
         feat = jax.vmap(
             lambda f, r: _c4_crop_and_head(params, f, r, scales[0])

@@ -52,6 +52,11 @@ def _vmem_estimate(slots, cc, sub, J, P, WY, WX, C, item):
     Js = J // sub
     inter = 2 * Js * P * WX * cc * 4  # f32 t1 + its transposed copy
     if cc < C or sub > 1:
+        # Unrolled chunk/subgroup loops additionally keep the f32 output
+        # tile + its astype copy alive across iterations (compiler-measured:
+        # P=14 (64, 48) at (1, 128, 2) peaks 16.68M where the t1-only
+        # estimate said 15.4M — the 1.28M gap is exactly this term).
+        inter += 2 * Js * P * P * cc * 4
         inter = int(1.5 * inter)
     return scratch + out_blk + inter
 
@@ -65,7 +70,7 @@ def _pick_layout(J, P, WY, WX, C, item):
         sl, cc, sub = (int(x) for x in override.split(","))
         return sl, (C if cc == 0 else cc), sub
     chunks = [C] + ([128] if C % 128 == 0 and C > 128 else [])
-    subs = [1] + ([2] if J % 2 == 0 else [])
+    subs = [1] + ([2] if J % 2 == 0 else []) + ([4] if J % 4 == 0 else [])
     for slots in (2, 1):
         for sub in subs:
             for cc in chunks:
@@ -73,6 +78,22 @@ def _pick_layout(J, P, WY, WX, C, item):
                         <= _VMEM_BUDGET:
                     return slots, cc, sub
     return 1, chunks[-1], subs[-1]
+
+
+def fit_window_x(J, P, WY, WX, C, item):
+    """Largest window_x <= WX (multiple of 8) for which some layout fits
+    the scoped-VMEM budget. Rung shapes like (32, 96) at pooled=14/C=256
+    cannot fit at full width (scratch alone ~12.6M leaves no room for the
+    f32 intermediates); the ladder shrinks such rungs and lets the per-RoI
+    coverage flags route now-uncovered RoIs to the fallback rung."""
+    wx = WX
+    while wx > 8:
+        sl, cc, sub = _pick_layout(J, P, WY, wx, C, item)
+        if _vmem_estimate(sl, cc, sub, J, P, WY, wx, C, item) \
+                <= _VMEM_BUDGET:
+            return wx
+        wx -= 8
+    return wx
 
 
 def _kernel(starts_ref, starts_next_ref, vy_ref, vx_ref, canvas_ref,
@@ -175,19 +196,15 @@ def _kernel(starts_ref, starts_next_ref, vy_ref, vx_ref, canvas_ref,
 # ---------------------------------------------------------------------------
 
 def _kernel_seg(seg_ref, starts_ref, starts_next_ref, vy_ref, vx_ref,
-                canvas_ref, prev_ref, out_ref, win_scratch, sems, *,
+                canvas_ref, out_ref, win_scratch, sems, *,
                 rois_per_step, window_y, window_x, pooled, channels,
                 n_slots, c_chunk, subgroups, out_qp):
     """_kernel with a dynamic active step range [seg[0], seg[1]).
 
-    Callers sort RoIs so each rung's RoIs occupy a contiguous block range;
-    this sweep runs the full grid but does NOTHING outside its segment —
-    inactive steps issue no DMAs and map their output to a dummy tail
-    block (see roi_window_pool_seg), so they cost only the grid-loop
-    bookkeeping. prev_ref (the previous rung's buffer, aliased to the
-    output) is never read here: aliasing alone preserves the blocks this
-    sweep doesn't visit."""
-    del prev_ref
+    The grid is a static CAPACITY; only the first seg[1] steps (the
+    runtime count of RoIs to pool, in J-row blocks) do anything — inactive
+    steps issue no DMAs and map their output to a dummy tail block (see
+    roi_window_pool_seg), so they cost only the grid-loop bookkeeping."""
     step = pl.program_id(0)
     lo = seg_ref[0]
     hi = seg_ref[1]
@@ -206,7 +223,10 @@ def _kernel_seg(seg_ref, starts_ref, starts_next_ref, vy_ref, vx_ref,
         )
 
     if n_slots == 2:
-        @pl.when(step == lo)
+        # NB: every started DMA must be awaited before the kernel exits;
+        # the prologue must not fire for an EMPTY segment (lo == hi, a
+        # rung no RoI mapped to) — `active` already implies lo < hi.
+        @pl.when(jnp.logical_and(step == lo, active))
         def _():
             for j in range(rois_per_step):
                 dma(slot, starts_ref, j).start()
@@ -266,20 +286,18 @@ def _kernel_seg(seg_ref, starts_ref, starts_next_ref, vy_ref, vx_ref,
     static_argnames=("window_y", "window_x", "pooled", "rois_per_step",
                      "interpret", "out_qp"),
 )
-def roi_window_pool_seg(canvas, prev, seg, starts, vy, vx, window_y,
+def roi_window_pool_seg(canvas, seg, starts, vy, vx, window_y,
                         window_x, pooled, rois_per_step=8, interpret=False,
                         out_qp=False):
-    """Segmented rung sweep. Like roi_window_pool, but only grid steps in
-    [seg[0], seg[1]) (RoI rows [seg[0]*J, seg[1]*J)) compute; the rest
-    write a dummy tail block. prev is a (N + J, P, P, C) buffer (a prior
-    rung's output) ALIASED to this call's output: blocks outside the
-    segment keep prev's contents with zero copy traffic. Pass prev=None
-    for the first rung (its unvisited blocks are garbage until later rungs
-    fill them). Returns (N + J, P, P, C); callers slice [:N].
-
-    Under interpret=True (CPU tests) aliasing semantics aren't guaranteed;
-    callers should where-merge the raw sweeps instead (see
-    windowed_roi.multilevel_roi_align_pallas_ladder)."""
+    """Bounded-count sweep: like roi_window_pool over a CAPACITY of N RoI
+    rows, but only grid steps in [seg[0], seg[1]) (normally [0, ceil(
+    count/J)) for a runtime count <= N) compute; the rest cost only the
+    grid-loop bookkeeping (no DMA — their output maps to a dummy tail
+    block and their input block indices clamp to the segment edge, which
+    skips the copy). Used for the RoI-ladder FIXUP sweeps: a small
+    compacted array of elongated RoIs pooled at a taller/wider window
+    shape than the main sweep's. Returns (N + J, P, P, C); rows beyond
+    seg[1]*J are garbage — callers gather/scatter only the counted rows."""
     N = starts.shape[0]
     C = canvas.shape[-1]
     J = rois_per_step
@@ -291,8 +309,6 @@ def roi_window_pool_seg(canvas, prev, seg, starts, vy, vx, window_y,
         J, pooled, window_y, window_x, C, canvas.dtype.itemsize)
 
     starts_next = jnp.roll(starts, -J, axis=0)
-    if prev is None:
-        prev = jnp.zeros((N + J, pooled, pooled, C), canvas.dtype)
 
     kernel = functools.partial(
         _kernel_seg, rois_per_step=J, window_y=window_y,
@@ -318,7 +334,6 @@ def roi_window_pool_seg(canvas, prev, seg, starts, vy, vx, window_y,
             pl.BlockSpec((J * pooled, window_x),
                          lambda i, s: (clampmap(i, s), 0)),
             pl.BlockSpec(memory_space=pl.ANY),   # canvas stays in HBM
-            pl.BlockSpec(memory_space=pl.ANY),   # prev (aliased, unread)
         ],
         out_specs=pl.BlockSpec(
             (J, pooled, pooled, C),
@@ -335,11 +350,9 @@ def roi_window_pool_seg(canvas, prev, seg, starts, vy, vx, window_y,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (N + J, pooled, pooled, C), canvas.dtype),
-        # operand 6 in (seg, starts, starts_next, vy, vx, canvas, prev)
-        input_output_aliases={6: 0},
         interpret=interpret,
     )(seg, starts, starts_next, vy.reshape(N * pooled, window_y),
-      vx.reshape(N * pooled, window_x), canvas, prev)
+      vx.reshape(N * pooled, window_x), canvas)
 
 
 @functools.partial(

@@ -308,82 +308,46 @@ def multilevel_roi_align_pallas(pyramid, scales, rois, pooled,
 
 
 # ---------------------------------------------------------------------------
-# Window-shape rung ladder: exact RoIAlign for elongated RoIs via per-rung
-# segmented kernel sweeps over a rung-sorted RoI order
+# Window-shape rung LADDER: one base full-canvas sweep (the single-window
+# kernel, unchanged cost) + small COMPACTED fixup sweeps at taller/wider
+# window shapes for the rare elongated mid-level RoIs the base clamps
 # ---------------------------------------------------------------------------
-
-def _ladder_shapes(rungs, top_shape, wy_base):
-    """Final ladder = mid-level rungs + a TOP rung sized to cover the whole
-    top level (the full-canvas trick: its window equals the top level's
-    padded block, so top RoIs of ANY extent are exact)."""
-    H_top, W_top = top_shape
-    hp_top = max(H_top, wy_base)
-    wx_top = -(-(W_top + 8) // 8) * 8
-    return list(rungs) + [(hp_top, wx_top)]
-
-
-def _rung_sort(rid, n_rungs, n, J):
-    """Rung-contiguous slot layout. rid: (n,) int32 rung per RoI.
-    Returns (slot_src (N2,) RoI index per slot (dummy slots read RoI 0),
-    inv_pos (n,) slot per RoI, seg_steps (n_rungs, 2) [lo, hi) grid-step
-    range per rung). Each rung's segment is padded to a multiple of the
-    J RoIs the kernel processes per grid step, so segments are
-    step-aligned; N2 = (ceil(n/J) + n_rungs) * J bounds the padded total
-    statically."""
-    N2 = (-(-n // J) + n_rungs) * J
-    order = jnp.argsort(rid, stable=True)
-    sorted_rid = rid[order]
-    counts = jnp.sum(rid[None, :] == jnp.arange(n_rungs)[:, None], axis=1)
-    padded = -(-counts // J) * J
-    seg_start = jnp.concatenate(
-        [jnp.zeros(1, counts.dtype), jnp.cumsum(padded)])[:-1]
-    unp_start = jnp.concatenate(
-        [jnp.zeros(1, counts.dtype), jnp.cumsum(counts)])[:-1]
-    pos = (seg_start[sorted_rid] + jnp.arange(n) -
-           unp_start[sorted_rid]).astype(jnp.int32)
-    slot_src = jnp.zeros(N2, jnp.int32).at[pos].set(
-        order.astype(jnp.int32))
-    inv_pos = jnp.zeros(n, jnp.int32).at[order].set(pos)
-    seg_steps = jnp.stack(
-        [seg_start // J, (seg_start + padded) // J], axis=-1).astype(
-            jnp.int32)
-    return slot_src, inv_pos, seg_steps
-
 
 @functools.partial(
     jax.jit,
     static_argnames=("pooled", "sampling_ratio", "k_min", "k_max", "rungs",
                      "rois_per_step", "canonical_scale", "canonical_level",
-                     "interpret", "out_qp", "return_perm"),
+                     "interpret", "out_qp", "fix_frac"),
 )
 def multilevel_roi_align_pallas_ladder(
         pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
         canonical_scale=224, canonical_level=4,
         rungs=((32, 40), (64, 48), (32, 96)), rois_per_step=8,
-        interpret=False, out_qp=False, return_perm=False):
+        interpret=False, out_qp=False, fix_frac=64):
     """Batched Pallas RoIAlign with a per-RoI-shape WINDOW LADDER.
 
-    Each RoI is assigned the first rung (window_y, window_x) whose window
-    fully covers its samples (window_params' exact-coverage flag), with a
-    whole-top-level rung appended for top-assigned RoIs. RoIs are sorted
-    rung-contiguously; each rung runs ONE segmented kernel sweep
-    (ops/pallas/roi_align_kernel.roi_window_pool_seg) that computes only
-    its own step range and chains into a shared output buffer via
-    aliasing. Net: the ~85% common case pays the small (32, 40) window's
-    DMA; elongated RoIs get exactly the window they need. Exact for every
-    RoI some rung covers (defaults: one-axis feature extent <= ~61 tall /
-    ~86 wide, i.e. aspect ratios to ~5-9 at band-top sizes — beyond the
-    reference's observed data); beyond-ladder slivers clamp in the most
-    capable rung (documented residual; the XLA hybrid covers them via
-    gather fixup).
+    The BASE sweep is exactly the single-window full-canvas kernel (rung 0
+    height, x widened to cover the whole top level): exact for moderate
+    RoIs (the ~95+% common case) and for top-level RoIs of any extent, at
+    the same cost as the round-2 production path. RoIs the base window
+    cannot cover (elongated mid-level RoIs — the reference CUDA kernel
+    lib/modeling/roi_xfrom/roi_align is exact for these; the base clamps
+    them) are COMPACTED per fixup rung (jnp.nonzero with a static
+    capacity of ~n/fix_frac), pooled by a bounded-count segmented sweep
+    (roi_window_pool_seg) at that rung's taller/wider window, and
+    scattered back. Net cost of exactness: two small sweeps whose grid is
+    capped at n/fix_frac RoIs and whose DMA is proportional to the ACTUAL
+    elongated count — a few percent in real detection workloads.
 
-    Returns (B, R, P, P, C) — or, with return_perm=True,
-    (buf (N2, P, P, C) in SORTED slot order, inv_pos (B*R,) slot index per
-    original RoI) so callers can run per-RoI heads on the slot layout and
-    un-permute the (much smaller) head outputs instead of the pooled
-    features. Replaces the reference's exact CUDA RoIAlign
-    (lib/modeling/roi_xfrom/roi_align) at full fidelity for practical
-    shapes."""
+    Exactness domain (defaults, bf16 canvas): one-axis feature extent to
+    ~61 cells tall / ~86 wide (aspect ratios ~5-9 at band-top sizes).
+    Residuals, all bounded clamp approximations rather than errors: RoIs
+    beyond every rung's coverage; rung capacity overflow (> n/fix_frac
+    elongated RoIs of one class); rung shapes shrunk by the scoped-VMEM
+    fitter (fit_window_x) at f32/pooled=14 combinations.
+
+    Returns (B, R, pooled, pooled, C) — (q, p)-transposed per RoI with
+    out_qp=True (absorbed by the box-head FC weight permutation)."""
     from detectron_tpu.ops.pallas import roi_align_kernel as rk
 
     assert sampling_ratio > 0
@@ -391,94 +355,159 @@ def multilevel_roi_align_pallas_ladder(
     C = pyramid[0].shape[-1]
     J = rois_per_step
     n = B * R
+    item = pyramid[0].dtype.itemsize
 
+    H_top, W_top = pyramid[-1].shape[1], pyramid[-1].shape[2]
     wy_base = rungs[0][0]
-    ladder = _ladder_shapes(rungs, pyramid[-1].shape[1:3], wy_base)
-    n_rungs = len(ladder)
-    wy_max = max(w for w, _ in ladder)
-    wx_max = max(w for _, w in ladder)
+    # Base window geometry == multilevel_roi_align_pallas(x_cover=W_top):
+    # whole-top-level x coverage when the top level fits the base height.
+    x_cover = W_top if H_top <= wy_base else 0
+    wx_base = -(-max(rungs[0][1], wy_base + 8, x_cover) // 8) * 8
 
-    hp_last = max(pyramid[-1].shape[1], wy_base)
-    canvas = build_canvas_batched(
-        pyramid, wy_base, wx_max, overhang_y=max(0, wy_max - hp_last))
+    # Fixup rungs, shrunk to the scoped-VMEM budget where needed.
+    fix_rungs = tuple(
+        (wy, rk.fit_window_x(J, pooled, wy, wx, C, item))
+        for wy, wx in rungs[1:])
+    wy_max = max([wy_base] + [wy for wy, _ in rungs[1:]])
+    # Canvas x-pad uses the UNSHRUNK max rung width: padding is free, and
+    # keeping the canvas shape independent of the per-pooled-size VMEM
+    # shrink makes the box (pooled=7) and mask (pooled=14) calls build
+    # byte-identical canvases that XLA CSEs into one (measured: the second
+    # build cost 6.9 ms/step at batch 32 when the widths differed).
+    wx_max = max([wx_base] + [wx for _, wx in rungs[1:]])
+
+    hp_last = max(H_top, wy_base)
+    canvas = build_canvas_batched(pyramid, wy_base, wx_max,
+                                  overhang_y=max(0, wy_max - hp_last))
     Wc = canvas.shape[2]
     heights, widths, row_off, pad_rows = _canvas_meta(
         [f[0] for f in pyramid], wy_base)
 
-    # Per-rung window params for ALL RoIs (vectorized; the kernel only
-    # reads the active segment's rows).
-    params = []
-    for wy, wx in ladder:
-        def one(r, wy=wy, wx=wx):
-            return window_params(
-                r, scales, heights, widths, row_off, pad_rows, Wc, pooled,
-                sampling_ratio, k_min, k_max, canonical_scale,
-                canonical_level, wy, wx, canvas.dtype, align_x=8)
+    def params_flat(r2, wy, wx):
+        return window_params(
+            r2, scales, heights, widths, row_off, pad_rows, Wc, pooled,
+            sampling_ratio, k_min, k_max, canonical_scale, canonical_level,
+            wy, wx, canvas.dtype, align_x=8)
 
-        sy, sx, vy, vx, ok = jax.vmap(one)(rois)
-        img = jnp.broadcast_to(
-            jnp.arange(B, dtype=jnp.int32)[:, None], (B, R))
-        starts = jnp.stack([img, sy, sx], axis=-1).reshape(n, 3)
-        params.append((starts, vy.reshape(n, pooled, wy),
-                       vx.reshape(n, pooled, wx), ok.reshape(n)))
+    # ---------------- base sweep ----------------
+    rois_flat = rois.reshape(n, 4)
+    sy, sx, vy, vx, ok = params_flat(rois_flat, wy_base, wx_base)
+    img_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), R)
+    starts = jnp.stack([img_idx, sy, sx], axis=-1)
+    pad = (-n) % J
+    if pad:
+        starts = jnp.pad(starts, ((0, pad), (0, 0)))
+        vy = jnp.pad(vy, ((0, pad), (0, 0), (0, 0)))
+        vx = jnp.pad(vx, ((0, pad), (0, 0), (0, 0)))
+    out = rk.roi_window_pool(canvas, starts, vy, vx, wy_base, wx_base,
+                             pooled, rois_per_step=J, interpret=interpret,
+                             out_qp=out_qp)[:n]
 
-    # First-covering-rung assignment; beyond-ladder RoIs fall back to the
-    # rung with the most capability along their deficient axis.
-    rid = jnp.full((n,), n_rungs - 1, jnp.int32)
-    any_ok = jnp.zeros((n,), bool)
-    for r in range(n_rungs - 1, -1, -1):
-        rid = jnp.where(params[r][3], jnp.int32(r), rid)
-        any_ok = any_ok | params[r][3]
-    lvl = roi_levels(rois.astype(jnp.float32), k_min, k_max,
-                     canonical_scale, canonical_level).reshape(n)
+    if not fix_rungs:
+        return out.reshape(B, R, pooled, pooled, C)
+
+    # ---------------- fixup sweeps ----------------
+    cap = -(-max(n // fix_frac, J) // J) * J
+    lvl = roi_levels(rois_flat.astype(jnp.float32), k_min, k_max,
+                     canonical_scale, canonical_level)
     sc = jnp.asarray(scales, jnp.float32)[lvl - k_min]
-    rois_f = rois.astype(jnp.float32).reshape(n, 4)
-    ex = (rois_f[:, 2] - rois_f[:, 0]) * sc
-    ey = (rois_f[:, 3] - rois_f[:, 1]) * sc
-    widest = max(range(n_rungs), key=lambda i: ladder[i][1])
-    tallest = max(range(n_rungs), key=lambda i: ladder[i][0])
-    rid = jnp.where(any_ok, rid,
-                    jnp.where(ex >= ey, jnp.int32(widest),
-                              jnp.int32(tallest)))
+    rf = rois_flat.astype(jnp.float32)
+    ex = (rf[:, 2] - rf[:, 0] + 1.0) * sc
+    ey = (rf[:, 3] - rf[:, 1] + 1.0) * sc
 
-    slot_src, inv_pos, seg_steps = _rung_sort(rid, n_rungs, n, J)
-    N2 = slot_src.shape[0]
+    # First rung whose window analytically covers the RoI (+2 bilinear
+    # border, +1 origin floor, +8 x alignment); RoIs beyond every rung go
+    # to the most capable rung along their longer axis (bounded clamp).
+    widest = max(range(len(fix_rungs)), key=lambda i: fix_rungs[i][1])
+    tallest = max(range(len(fix_rungs)), key=lambda i: fix_rungs[i][0])
+    rid = jnp.where(ex >= ey, jnp.int32(widest), jnp.int32(tallest))
+    for r in range(len(fix_rungs) - 1, -1, -1):
+        wy_r, wx_r = fix_rungs[r]
+        fits = (ey + 4.0 <= wy_r) & (ex + 12.0 <= wx_r)
+        rid = jnp.where(fits, jnp.int32(r), rid)
 
-    buf = None
-    sweeps = []
-    for r, (wy, wx) in enumerate(ladder):
-        starts_r = params[r][0][slot_src]
-        vy_r = params[r][1][slot_src]
-        vx_r = params[r][2][slot_src]
-        out_r = rk.roi_window_pool_seg(
-            canvas, None if interpret else buf, seg_steps[r], starts_r,
-            vy_r, vx_r, wy, wx, pooled, rois_per_step=J,
-            interpret=interpret, out_qp=out_qp)
-        if interpret:
-            sweeps.append(out_r[:N2])
-        else:
-            buf = out_r
+    need = ~ok
+    for r, (wy_r, wx_r) in enumerate(fix_rungs):
+        sel = need & (rid == r)
+        idx = jnp.nonzero(sel, size=cap, fill_value=n)[0].astype(jnp.int32)
+        count = jnp.sum(sel.astype(jnp.int32))
+        safe = jnp.minimum(idx, n - 1)
+        fsy, fsx, fvy, fvx, _ = params_flat(rois_flat[safe], wy_r, wx_r)
+        fstarts = jnp.stack([img_idx[safe], fsy, fsx], axis=-1)
+        seg = jnp.stack([jnp.int32(0),
+                         jnp.minimum((count + J - 1) // J, cap // J)])
+        fout = rk.roi_window_pool_seg(
+            canvas, seg, fstarts, fvy, fvx, wy_r, wx_r, pooled,
+            rois_per_step=J, interpret=interpret, out_qp=out_qp)[:cap]
+        # Pad slots carry idx == n -> dropped by the scatter.
+        out = out.at[idx].set(fout.astype(out.dtype), mode="drop")
 
-    if interpret:
-        # Aliasing semantics aren't guaranteed under interpret: merge the
-        # sweeps by each slot's rung instead (CPU test path only).
-        slot_rung = jnp.full((N2,), n_rungs - 1, jnp.int32)
-        step_idx = jnp.arange(N2, dtype=jnp.int32) // J
-        for r in range(n_rungs):
-            in_seg = (step_idx >= seg_steps[r, 0]) & \
-                (step_idx < seg_steps[r, 1])
-            slot_rung = jnp.where(in_seg, jnp.int32(r), slot_rung)
-        buf = sweeps[-1]
-        for r in range(n_rungs - 1):
-            buf = jnp.where((slot_rung == r)[:, None, None, None],
-                            sweeps[r], buf)
-    else:
-        buf = buf[:N2]
+    return out.reshape(B, R, pooled, pooled, C)
 
-    if return_perm:
-        return buf, inv_pos
-    out = buf[inv_pos].reshape(B, R, pooled, pooled, C)
-    return out
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5, 6, 7, 8, 9,
+                                                    10, 11, 12))
+def multilevel_roi_align_ladder_trainable(
+        pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
+        canonical_scale, canonical_level, rungs, rois_per_step, interpret,
+        out_qp=False):
+    """Differentiable (w.r.t. pyramid) ladder RoIAlign. Forward is the
+    rung-segmented Pallas kernel (exact RoIAlign for every rung-covered
+    RoI); backward is the linear transpose of the EXACT gather formulation
+    (ops/multilevel_roi.py) — the same linear map as the forward wherever
+    the forward is exact, i.e. every practical RoI shape (beyond-ladder
+    slivers clamp in the forward only; their gradient follows the exact
+    map, a documented residual). RoIs get zero cotangent (proposals are
+    detached, as in the reference where proposals are host numpy)."""
+    return multilevel_roi_align_pallas_ladder(
+        pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
+        canonical_scale=canonical_scale, canonical_level=canonical_level,
+        rungs=rungs, rois_per_step=rois_per_step, interpret=interpret,
+        out_qp=out_qp)
+
+
+def _ladder_trainable_fwd(pyramid, scales, rois, pooled, sampling_ratio,
+                          k_min, k_max, canonical_scale, canonical_level,
+                          rungs, rois_per_step, interpret, out_qp=False):
+    out = multilevel_roi_align_pallas_ladder(
+        pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
+        canonical_scale=canonical_scale, canonical_level=canonical_level,
+        rungs=rungs, rois_per_step=rois_per_step, interpret=interpret,
+        out_qp=out_qp)
+    pyr_struct = jax.tree.map(
+        lambda f: jax.ShapeDtypeStruct(f.shape, f.dtype), list(pyramid))
+    return out, (rois, pyr_struct)
+
+
+def _ladder_trainable_bwd(scales, pooled, sampling_ratio, k_min, k_max,
+                          canonical_scale, canonical_level, rungs,
+                          rois_per_step, interpret, out_qp, res, ct):
+    from detectron_tpu.ops import multilevel_roi as ml
+
+    rois, pyr_struct = res
+    if out_qp:
+        ct = jnp.swapaxes(ct, 2, 3)
+
+    def fwd_lin(pyr):
+        def one(fs, r):
+            return ml.multilevel_roi_align(
+                fs, scales, r, pooled, sampling_ratio, k_min, k_max,
+                canonical_scale=canonical_scale,
+                canonical_level=canonical_level, chunk=128)
+
+        return jax.vmap(one)(pyr, rois)
+
+    # fwd_lin is linear in the pyramid, so its pullback is point-independent:
+    # evaluate the vjp at zeros (linear_transpose can't see through the
+    # gather path's lax.map whose linear operand is closure-captured).
+    zeros = [jnp.zeros(s.shape, s.dtype) for s in pyr_struct]
+    _, vjp_fn = jax.vjp(fwd_lin, zeros)
+    d_pyr = vjp_fn(ct.astype(pyr_struct[0].dtype))[0]
+    return (d_pyr, jnp.zeros_like(rois))
+
+
+multilevel_roi_align_ladder_trainable.defvjp(
+    _ladder_trainable_fwd, _ladder_trainable_bwd)
 
 
 # ---------------------------------------------------------------------------

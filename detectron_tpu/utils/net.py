@@ -47,9 +47,12 @@ def _unflatten(flat):
     return listify(root)
 
 
-def save_ckpt(output_dir, step, params, opt_state=None, meta=None):
-    """Write checkpoint to <output_dir>/ckpt/model_step{N}/."""
-    ckpt_dir = os.path.join(output_dir, "ckpt", "model_step{}".format(step))
+def save_ckpt(output_dir, step, params, opt_state=None, meta=None,
+              name=None):
+    """Write checkpoint to <output_dir>/ckpt/<name or model_step{N}>/.
+    The epoch trainer passes name='model_epoch{E}' (reference naming)."""
+    ckpt_dir = os.path.join(output_dir, "ckpt",
+                            name or "model_step{}".format(step))
     os.makedirs(ckpt_dir, exist_ok=True)
     payload = {"params": params}
     if opt_state is not None:

@@ -80,3 +80,41 @@ def test_to_bbox():
     m[5:15, 8:20] = 1
     bb = rle.to_bbox(rle.encode(m))
     np.testing.assert_array_equal(bb, [8, 5, 12, 10])
+
+
+def test_encode_crop_matches_full_paste():
+    """encode_crop (O(crop) detection hot path) must be bit-identical to
+    pasting the crop into a zero canvas and encoding it whole, across edge
+    placements, empty crops, and crops touching the image borders."""
+    rng = np.random.RandomState(0)
+    h, w = 37, 53
+    cases = [
+        (rng.rand(5, 7) > 0.5, 3, 11),
+        (rng.rand(1, 1) > 0.2, 0, 0),          # top-left corner
+        (rng.rand(4, 6) > 0.5, w - 6, h - 4),  # bottom-right corner
+        (np.ones((37, 53), bool), 0, 0),       # whole image
+        (np.zeros((5, 5), bool), 10, 10),      # empty crop
+        (rng.rand(37, 1) > 0.5, 20, 0),        # full-height column
+        (rng.rand(1, 53) > 0.5, 0, 15),        # full-width row
+        (np.zeros((0, 4), bool), 2, 2),        # degenerate shape
+    ]
+    for crop, x0, y0 in cases:
+        crop = np.asarray(crop, np.uint8)
+        ch, cw = crop.shape
+        canvas = np.zeros((h, w), np.uint8)
+        canvas[y0:y0 + ch, x0:x0 + cw] = crop
+        a = rle.encode(canvas)
+        b = rle.encode_crop(crop, x0, y0, h, w)
+        assert a["size"] == b["size"]
+        assert a["counts"] == b["counts"], (x0, y0, crop.shape)
+    # randomized sweep
+    for _ in range(50):
+        ch = rng.randint(1, h + 1)
+        cw = rng.randint(1, w + 1)
+        y0 = rng.randint(0, h - ch + 1)
+        x0 = rng.randint(0, w - cw + 1)
+        crop = (rng.rand(ch, cw) > rng.rand()).astype(np.uint8)
+        canvas = np.zeros((h, w), np.uint8)
+        canvas[y0:y0 + ch, x0:x0 + cw] = crop
+        assert rle.encode(canvas)["counts"] == \
+            rle.encode_crop(crop, x0, y0, h, w)["counts"]

@@ -115,6 +115,21 @@ def test_train_net_step_cli(cli_env):
           "--nw", "1", "--no_save"], cli_env["env"])
 
 
+def test_train_net_epoch_cli(cli_env):
+    """The legacy epoch trainer (reference tools/train_net.py): one epoch
+    over the tiny dataset, per-epoch checkpoint under the reference's
+    model_epoch{N} naming, epoch-derived lr schedule."""
+    proc = _run(["train_net.py", "--cfg", cli_env["cfg"], "--bs", "1",
+                 "--nw", "1", "--epochs", "1", "--lr", "0.0005",
+                 "--lr_decay_epochs", "4", "5",
+                 "--disp_interval", "1"], cli_env["env"])
+    assert "epoch 1/1" in proc.stdout + proc.stderr
+    import glob
+    ck = glob.glob(os.path.join(cli_env["out"], "tiny", "ckpt",
+                                "model_epoch1"))
+    assert ck, "per-epoch checkpoint missing"
+
+
 def test_train_net_step_cli_iter_size(cli_env):
     """--iter_size 2 must run the accumulating step (one update per 2
     minibatches). MAX_ITER=3 is linearly rescaled to 1 update; the run must

@@ -171,9 +171,17 @@ def main():
     # Each process draws a DIFFERENT stream (seed offset by rank): with the
     # epoch-shuffled sampler this gives disjoint-in-expectation per-host
     # shards, the standard pod-scale input pattern.
+    loader_seed = cfg.RNG_SEED + jax.process_index()
+    logger.info("loader stream seed %d (host %d/%d, local batch %d)",
+                loader_seed, jax.process_index(), jax.process_count(),
+                local_batch_size)
     loader = TrainLoader(roidb, local_batch_size,
-                         seed=cfg.RNG_SEED + jax.process_index(),
-                         num_threads=args.num_workers)
+                         seed=loader_seed,
+                         num_threads=args.num_workers,
+                         # Exact resume: skip the batches steps [0,
+                         # start_step) consumed so the stream continues
+                         # where the interrupted run left off.
+                         start_batch=start_step * args.iter_size)
 
     is_chief = jax.process_index() == 0
 
