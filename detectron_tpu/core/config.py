@@ -374,6 +374,13 @@ __C.TPU.ROI_RUNGS = ((32, 40), (64, 48), (32, 96))
 # reshape costs an extra HBM round trip), so off by default; kept as a
 # tested, toggleable experiment (see PERF.md).
 __C.TPU.S2D_STEM = False
+# HOST-side space-to-depth input: the loader / serving host emits images
+# already padded-by-4 and 2x2-blocked to (B, H/2+4, W/2+4, 12)
+# (utils/blob.space_to_depth), and the stem runs the mathematically
+# identical 4x4/s1 VALID conv directly — no in-graph blocked reshape (the
+# HBM round trip that made TPU.S2D_STEM lose). Consumers must feed blocked
+# images when this is on (loader, test_engine, bench do).
+__C.TPU.S2D_INPUT = False
 
 # ---------------------------------------------------------------------------
 # Misc

@@ -286,14 +286,17 @@ def test_net(params, roidb_entries, dataset, batch_size=8, output_dir=None,
             timers["im_load"].toc()
 
             timers["im_detect_bbox"].tic()
+            images_np = np.stack(blobs)
+            if cfg.TPU.S2D_INPUT:
+                images_np = blob_utils.space_to_depth(images_np)
             if use_props:
                 out = detect_fn(
-                    params, jnp.asarray(np.stack(blobs)),
+                    params, jnp.asarray(images_np),
                     jnp.asarray(np.array(infos, np.float32)),
                     jnp.asarray(np.stack(prop_boxes)),
                     jnp.asarray(np.stack(prop_valid)))
             else:
-                out = detect_fn(params, jnp.asarray(np.stack(blobs)),
+                out = detect_fn(params, jnp.asarray(images_np),
                                 jnp.asarray(np.array(infos, np.float32)))
             out = jax.tree.map(np.asarray, out)
             timers["im_detect_bbox"].toc()

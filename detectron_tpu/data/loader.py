@@ -121,6 +121,10 @@ def make_minibatch(entries, rng):
             gt_keypoints[i, :n] = np.transpose(kps, (0, 2, 1)) * \
                 np.array([scale, scale, 1.0], np.float32)
 
+    if cfg.TPU.S2D_INPUT:
+        # Host-side space-to-depth: the stem conv consumes blocked input
+        # directly (models/resnet._s2d_blocked_stem_conv).
+        images = blob_utils.space_to_depth(images)
     batch = {
         "images": images,
         "im_info": im_info,

@@ -184,6 +184,29 @@ def _s2d_stem_conv(conv1_p, x):
     return y
 
 
+def _s2d_blocked_stem_conv(conv1_p, x2):
+    """Stem conv on HOST-blocked input (cfg.TPU.S2D_INPUT): x2 is
+    (B, (H+8)//2, (W+8)//2, 12) from utils/blob.space_to_depth (pad 4 each
+    side, 2x2 block, channel order (dy, dx, c)). Same kernel transform as
+    _s2d_stem_conv, but the blocked reshape — the HBM round trip that made
+    the in-graph TPU.S2D_STEM variant LOSE 4.6 ms (PERF.md) — happened on
+    the host for free."""
+    w = conv1_p["w"]  # (7, 7, 3, 64) HWIO
+    B, P, Q, C4 = x2.shape
+    C = C4 // 4
+    O = w.shape[-1]
+    wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8, 8, C, O)
+    w2 = wp.reshape(4, 2, 4, 2, C, O).transpose(0, 2, 1, 3, 4, 5)
+    w2 = w2.reshape(4, 4, 4 * C, O).astype(x2.dtype)
+    y = jax.lax.conv_general_dilated(
+        x2, w2, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y[:, : P - 4, : Q - 4, :]
+    if "b" in conv1_p:
+        y = y + conv1_p["b"].astype(y.dtype)
+    return y
+
+
 def apply_body(p, x, num_stages, freeze_at=None):
     """Run the body; returns list of per-stage outputs [res2, ..., resN].
 
@@ -199,7 +222,9 @@ def apply_body(p, x, num_stages, freeze_at=None):
     stem_p = {"conv1": p["conv1"], "res_conv1_bn": p["res_conv1_bn"]}
     if freeze_at >= 2:
         stem_p = jax.lax.stop_gradient(stem_p)
-    if cfg.TPU.S2D_STEM:
+    if cfg.TPU.S2D_INPUT:
+        h = _s2d_blocked_stem_conv(stem_p["conv1"], x)
+    elif cfg.TPU.S2D_STEM:
         h = _s2d_stem_conv(stem_p["conv1"], x)
     else:
         h = L.conv2d(stem_p["conv1"], x, stride=2, padding=3)

@@ -408,40 +408,51 @@ def multilevel_roi_align_pallas_ladder(
 
     # ---------------- fixup sweeps ----------------
     cap = -(-max(n // fix_frac, J) // J) * J
-    lvl = roi_levels(rois_flat.astype(jnp.float32), k_min, k_max,
-                     canonical_scale, canonical_level)
-    sc = jnp.asarray(scales, jnp.float32)[lvl - k_min]
-    rf = rois_flat.astype(jnp.float32)
-    ex = (rf[:, 2] - rf[:, 0] + 1.0) * sc
-    ey = (rf[:, 3] - rf[:, 1] + 1.0) * sc
-
-    # First rung whose window analytically covers the RoI (+2 bilinear
-    # border, +1 origin floor, +8 x alignment); RoIs beyond every rung go
-    # to the most capable rung along their longer axis (bounded clamp).
-    widest = max(range(len(fix_rungs)), key=lambda i: fix_rungs[i][1])
-    tallest = max(range(len(fix_rungs)), key=lambda i: fix_rungs[i][0])
-    rid = jnp.where(ex >= ey, jnp.int32(widest), jnp.int32(tallest))
-    for r in range(len(fix_rungs) - 1, -1, -1):
-        wy_r, wx_r = fix_rungs[r]
-        fits = (ey + 4.0 <= wy_r) & (ex + 12.0 <= wx_r)
-        rid = jnp.where(fits, jnp.int32(r), rid)
-
     need = ~ok
-    for r, (wy_r, wx_r) in enumerate(fix_rungs):
-        sel = need & (rid == r)
-        idx = jnp.nonzero(sel, size=cap, fill_value=n)[0].astype(jnp.int32)
-        count = jnp.sum(sel.astype(jnp.int32))
-        safe = jnp.minimum(idx, n - 1)
-        fsy, fsx, fvy, fvx, _ = params_flat(rois_flat[safe], wy_r, wx_r)
-        fstarts = jnp.stack([img_idx[safe], fsy, fsx], axis=-1)
-        seg = jnp.stack([jnp.int32(0),
-                         jnp.minimum((count + J - 1) // J, cap // J)])
-        fout = rk.roi_window_pool_seg(
-            canvas, seg, fstarts, fvy, fvx, wy_r, wx_r, pooled,
-            rois_per_step=J, interpret=interpret, out_qp=out_qp)[:cap]
-        # Pad slots carry idx == n -> dropped by the scatter.
-        out = out.at[idx].set(fout.astype(out.dtype), mode="drop")
 
+    def apply_fixups(out_flat):
+        lvl = roi_levels(rois_flat.astype(jnp.float32), k_min, k_max,
+                         canonical_scale, canonical_level)
+        sc = jnp.asarray(scales, jnp.float32)[lvl - k_min]
+        rf = rois_flat.astype(jnp.float32)
+        ex = (rf[:, 2] - rf[:, 0] + 1.0) * sc
+        ey = (rf[:, 3] - rf[:, 1] + 1.0) * sc
+
+        # First rung whose window analytically covers the RoI (+2 bilinear
+        # border, +1 origin floor, +8 x alignment); RoIs beyond every rung
+        # go to the most capable rung along their longer axis (bounded
+        # clamp).
+        widest = max(range(len(fix_rungs)), key=lambda i: fix_rungs[i][1])
+        tallest = max(range(len(fix_rungs)), key=lambda i: fix_rungs[i][0])
+        rid = jnp.where(ex >= ey, jnp.int32(widest), jnp.int32(tallest))
+        for r in range(len(fix_rungs) - 1, -1, -1):
+            wy_r, wx_r = fix_rungs[r]
+            fits = (ey + 4.0 <= wy_r) & (ex + 12.0 <= wx_r)
+            rid = jnp.where(fits, jnp.int32(r), rid)
+
+        for r, (wy_r, wx_r) in enumerate(fix_rungs):
+            sel = need & (rid == r)
+            idx = jnp.nonzero(sel, size=cap,
+                              fill_value=n)[0].astype(jnp.int32)
+            count = jnp.sum(sel.astype(jnp.int32))
+            safe = jnp.minimum(idx, n - 1)
+            fsy, fsx, fvy, fvx, _ = params_flat(rois_flat[safe], wy_r, wx_r)
+            fstarts = jnp.stack([img_idx[safe], fsy, fsx], axis=-1)
+            seg = jnp.stack([jnp.int32(0),
+                             jnp.minimum((count + J - 1) // J, cap // J)])
+            fout = rk.roi_window_pool_seg(
+                canvas, seg, fstarts, fvy, fvx, wy_r, wx_r, pooled,
+                rois_per_step=J, interpret=interpret, out_qp=out_qp)[:cap]
+            # Pad slots carry idx == n -> dropped by the scatter.
+            out_flat = out_flat.at[idx].set(fout.astype(out_flat.dtype),
+                                            mode="drop")
+        return out_flat
+
+    # The entire compaction/sweep/scatter machinery runs only when some
+    # RoI actually needs a bigger window (real detection batches: a few
+    # percent of images at most have one) — batches of window-covered RoIs
+    # pay a single any() reduction.
+    out = jax.lax.cond(jnp.any(need), apply_fixups, lambda o: o, out)
     return out.reshape(B, R, pooled, pooled, C)
 
 

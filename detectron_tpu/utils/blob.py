@@ -81,3 +81,17 @@ def im_list_to_blob(ims, stride=None):
     for i, im in enumerate(ims):
         blob[i, :im.shape[0], :im.shape[1]] = im
     return blob
+
+
+def space_to_depth(images):
+    """(B, H, W, C) -> (B, (H+8)//2, (W+8)//2, 4C) host-side blocked input
+    for the cfg.TPU.S2D_INPUT stem: pad 4 on each spatial side (the 7x7/s2
+    stem's halo, pre-padded so the device conv is VALID), 2x2 block with
+    channel order (dy, dx, c) — must match
+    models/resnet._s2d_blocked_stem_conv's kernel transform."""
+    B, H, W, C = images.shape
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    xp = np.pad(images, ((0, 0), (4, 4), (4, 4), (0, 0)))
+    P, Q = (H + 8) // 2, (W + 8) // 2
+    x2 = xp.reshape(B, P, 2, Q, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    return np.ascontiguousarray(x2.reshape(B, P, Q, 4 * C))

@@ -196,3 +196,34 @@ def test_s2d_stem_conv_exact():
     assert ref.shape == got.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_s2d_input_stem_parity():
+    """cfg.TPU.S2D_INPUT: host-blocked images through the 4x4 VALID stem
+    must reproduce the direct 7x7/s2 stem bit-close (f32), end-to-end
+    through the body+FPN features."""
+    from detectron_tpu.utils import blob as blob_utils
+
+    _tiny_fpn_cfg()
+    params = mb.init_model(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    images = rng.randn(2, 64, 96, 3).astype(np.float32) * 20.0
+
+    feats_ref, scales_ref = jax.jit(mb.forward_features)(
+        params, jnp.asarray(images))
+
+    config.merge_cfg_from_list(["TPU.S2D_INPUT", "True"])
+    try:
+        blocked = blob_utils.space_to_depth(images)
+        assert blocked.shape == (2, 36, 52, 12)
+        feats_s2d, scales_s2d = jax.jit(mb.forward_features)(
+            params, jnp.asarray(blocked))
+    finally:
+        config.merge_cfg_from_list(["TPU.S2D_INPUT", "False"])
+
+    assert scales_ref == scales_s2d
+    # Identical math up to f32 accumulation order (different contraction
+    # grouping): tiny absolute noise on O(100) activations.
+    for a, b in zip(feats_ref, feats_s2d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-3)
