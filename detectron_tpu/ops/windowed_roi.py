@@ -64,7 +64,7 @@ def build_canvas(pyramid, window):
 def window_params(rois, scales, heights, widths, row_off, pad_rows, Wc,
                   pooled, sampling_ratio, k_min, k_max, canonical_scale,
                   canonical_level, window_y, window_x, weight_dtype,
-                  align_x=1):
+                  align_x=1, col_off=None):
     """Per-RoI window origins + interpolation weights (shared by the XLA
     dynamic_slice path and the Pallas DMA kernel).
 
@@ -155,7 +155,10 @@ def window_params(rois, scales, heights, widths, row_off, pad_rows, Wc,
     vx = vx.astype(weight_dtype)
 
     start_y = (off_y + wy0).astype(jnp.int32)
-    start_x = wx0.astype(jnp.int32)
+    # col_off: per-level column origins for the 2-D packed canvas layout
+    # (ladder path); None = all levels at column 0 (row-stacked canvas).
+    off_x = 0.0 if col_off is None else col_off[lvl]
+    start_x = (off_x + wx0).astype(jnp.int32)
     return start_y, start_x, vy, vx, ok
 
 
@@ -168,6 +171,47 @@ def _canvas_meta(pyramid, window):
         [sum(pad_rows_l[:i]) for i in range(len(dims))], jnp.float32)
     pad_rows = jnp.asarray(pad_rows_l, jnp.float32)
     return heights, widths, row_off, pad_rows
+
+
+def _canvas_2d_geom(pyramid_dims, window_y, wx_pad, overhang_b):
+    """2-D packed canvas geometry (ladder path): the (largest) level 0
+    alone in column A at origin (0, 0) — its own width is >= every window,
+    so it needs NO x padding — and levels 1.. row-stacked in column B at
+    col offset roundup8(W_0), padded to the column width so whole-level
+    windows read only zeros beyond a level's edge. Shrinks the canvas area
+    to ~2/3 of the row-stacked layout at Mask R-CNN shapes (the canvas
+    build was 6.9 ms/step at batch 32 — pure HBM writes, scaling with
+    area). Returns (row_off list, col_off list, pad_rows list, H, W)."""
+    pad_rows = [max(d[0], window_y) for d in pyramid_dims]
+    col_b = -(-pyramid_dims[0][1] // 8) * 8
+    row_off = [0] + [sum(pad_rows[1:i]) for i in range(1, len(pyramid_dims))]
+    col_off = [0] + [col_b] * (len(pyramid_dims) - 1)
+    wb = max([wx_pad] + [d[1] for d in pyramid_dims[1:]])
+    W = col_b + (-(-wb // 8) * 8)
+    H = max(pad_rows[0], sum(pad_rows[1:]) + overhang_b)
+    return row_off, col_off, pad_rows, H, W
+
+
+def build_canvas_batched_2d(pyramid, window_y, wx_pad, overhang_b=0):
+    """pyramid: list of (B, H_l, W_l, C) -> 2-D packed canvas (B, H, W, C)
+    per _canvas_2d_geom."""
+    dims = [(f.shape[1], f.shape[2]) for f in pyramid]
+    row_off, col_off, pad_rows, H, W = _canvas_2d_geom(
+        dims, window_y, wx_pad, overhang_b)
+    col_b = col_off[1]
+    f0 = pyramid[0]
+    colA = jnp.pad(f0, ((0, 0), (0, H - dims[0][0]),
+                        (0, col_b - dims[0][1]), (0, 0)))
+    blocks = []
+    for i, f in enumerate(pyramid[1:], start=1):
+        blocks.append(jnp.pad(
+            f, ((0, 0), (0, pad_rows[i] - dims[i][0]),
+                (0, (W - col_b) - dims[i][1]), (0, 0))))
+    colB = jnp.concatenate(blocks, axis=1)
+    hb = colB.shape[1]
+    if hb < H:
+        colB = jnp.pad(colB, ((0, 0), (0, H - hb), (0, 0), (0, 0)))
+    return jnp.concatenate([colA, colB], axis=2)
 
 
 @functools.partial(
@@ -377,17 +421,40 @@ def multilevel_roi_align_pallas_ladder(
     wx_max = max([wx_base] + [wx for _, wx in rungs[1:]])
 
     hp_last = max(H_top, wy_base)
-    canvas = build_canvas_batched(pyramid, wy_base, wx_max,
-                                  overhang_y=max(0, wy_max - hp_last))
+    # Fixup rungs read below a level's block only for levels they can be
+    # assigned to. With the full-canvas base (x_cover), top-level RoIs are
+    # always base-covered, so no tall window ever starts at the LAST
+    # level: tall reads at level l land inside level l+1's rows and the
+    # canvas needs no bottom overhang at all.
+    overhang = 0 if x_cover else max(0, wy_max - hp_last)
+    dims = [(f.shape[1], f.shape[2]) for f in pyramid]
+    heights = jnp.asarray([d[0] for d in dims], jnp.float32)
+    widths = jnp.asarray([d[1] for d in dims], jnp.float32)
+    # 2-D packing is valid when level 0 is wide enough that no whole-level
+    # window can read past it into column B, and tall enough to host the
+    # tallest rung inside its own block.
+    use_2d = (len(pyramid) >= 2 and dims[0][1] >= wx_max
+              and max(dims[0][0], wy_base) >= wy_max)
+    if use_2d:
+        canvas = build_canvas_batched_2d(pyramid, wy_base, wx_max, overhang)
+        row_off_l, col_off_l, pad_rows_l, _, _ = _canvas_2d_geom(
+            dims, wy_base, wx_max, overhang)
+        row_off = jnp.asarray(row_off_l, jnp.float32)
+        col_off = jnp.asarray(col_off_l, jnp.float32)
+        pad_rows = jnp.asarray(pad_rows_l, jnp.float32)
+    else:
+        canvas = build_canvas_batched(pyramid, wy_base, wx_max,
+                                      overhang_y=overhang)
+        _, _, row_off, pad_rows = _canvas_meta(
+            [f[0] for f in pyramid], wy_base)
+        col_off = None
     Wc = canvas.shape[2]
-    heights, widths, row_off, pad_rows = _canvas_meta(
-        [f[0] for f in pyramid], wy_base)
 
     def params_flat(r2, wy, wx):
         return window_params(
             r2, scales, heights, widths, row_off, pad_rows, Wc, pooled,
             sampling_ratio, k_min, k_max, canonical_scale, canonical_level,
-            wy, wx, canvas.dtype, align_x=8)
+            wy, wx, canvas.dtype, align_x=8, col_off=col_off)
 
     # ---------------- base sweep ----------------
     rois_flat = rois.reshape(n, 4)
