@@ -481,20 +481,27 @@ def multilevel_roi_align_pallas_ladder(
         lvl = roi_levels(rois_flat.astype(jnp.float32), k_min, k_max,
                          canonical_scale, canonical_level)
         sc = jnp.asarray(scales, jnp.float32)[lvl - k_min]
+        Hl = heights[lvl - k_min]
+        Wl = widths[lvl - k_min]
         rf = rois_flat.astype(jnp.float32)
-        ex = (rf[:, 2] - rf[:, 0] + 1.0) * sc
-        ey = (rf[:, 3] - rf[:, 1] + 1.0) * sc
+        # Level-CLAMPED extents: samples outside the level are zero-weight,
+        # so the span a window must cover never exceeds the level's dims —
+        # and a window >= the level dimension covers it whole regardless
+        # of the RoI's raw extent (the full-canvas clause).
+        ex = jnp.minimum((rf[:, 2] - rf[:, 0] + 1.0) * sc, Wl)
+        ey = jnp.minimum((rf[:, 3] - rf[:, 1] + 1.0) * sc, Hl)
 
         # First rung whose window analytically covers the RoI (+2 bilinear
-        # border, +1 origin floor, +8 x alignment); RoIs beyond every rung
-        # go to the most capable rung along their longer axis (bounded
-        # clamp).
+        # border, +1 origin floor, +8 x alignment; or whole-level); RoIs
+        # beyond every rung go to the most capable rung along their longer
+        # axis (bounded clamp).
         widest = max(range(len(fix_rungs)), key=lambda i: fix_rungs[i][1])
         tallest = max(range(len(fix_rungs)), key=lambda i: fix_rungs[i][0])
         rid = jnp.where(ex >= ey, jnp.int32(widest), jnp.int32(tallest))
         for r in range(len(fix_rungs) - 1, -1, -1):
             wy_r, wx_r = fix_rungs[r]
-            fits = (ey + 4.0 <= wy_r) & (ex + 12.0 <= wx_r)
+            fits = (((ey + 4.0 <= wy_r) | (wy_r >= Hl))
+                    & ((ex + 12.0 <= wx_r) | (wx_r >= Wl)))
             rid = jnp.where(fits, jnp.int32(r), rid)
 
         for r, (wy_r, wx_r) in enumerate(fix_rungs):

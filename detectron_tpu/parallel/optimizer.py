@@ -104,7 +104,20 @@ def apply_updates(params, grads, opt_state):
         scale = jnp.minimum(1.0, cfg.SOLVER.CLIP_GRADIENTS /
                             jnp.maximum(gnorm, 1e-12))
         grads = jax.tree.map(lambda g: g * scale, grads)
-    lr = make_lr_fn()(opt_state["step"])
+    lr_fn = make_lr_fn()
+    lr = lr_fn(opt_state["step"])
+    # Momentum correction at lr boundaries (reference: utils/net.py ::
+    # update_learning_rate -> Detectron's _CorrectMomentum): the Caffe2-form
+    # momentum buffer carries lr inside it, so when the schedule jumps
+    # (STEPS decay; NOT the per-step warmup ramp, which stays inside the
+    # threshold) the buffered history must be rescaled by new_lr/old_lr.
+    if cfg.SOLVER.SCALE_MOMENTUM:
+        lr_prev = lr_fn(jnp.maximum(opt_state["step"] - 1, 0))
+        ratio = lr / jnp.maximum(lr_prev, 1e-20)
+        thr = cfg.SOLVER.SCALE_MOMENTUM_THRESHOLD
+        mcorr = jnp.where((ratio > thr) | (ratio < 1.0 / thr), ratio, 1.0)
+    else:
+        mcorr = jnp.float32(1.0)
     mu = cfg.SOLVER.MOMENTUM
     wd = cfg.SOLVER.WEIGHT_DECAY
     wd_gn = cfg.SOLVER.WEIGHT_DECAY_GN
@@ -125,7 +138,7 @@ def apply_updates(params, grads, opt_state):
         else:
             eff_lr, eff_wd = lr, wd
         g32 = g.astype(jnp.float32)
-        v_new = mu * v + eff_lr * (g32 + eff_wd * p)
+        v_new = mu * (mcorr * v) + eff_lr * (g32 + eff_wd * p)
         return p - v_new, v_new
 
     flat = jax.tree_util.tree_map_with_path(

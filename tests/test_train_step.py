@@ -125,6 +125,52 @@ def test_lr_schedule():
     assert float(lr_fn(jnp.int32(150))) == pytest.approx(0.001)
 
 
+def test_momentum_correction_at_lr_decay():
+    """SOLVER.SCALE_MOMENTUM (reference utils/net.update_learning_rate ->
+    Detectron _CorrectMomentum): at a STEPS decay boundary the Caffe2-form
+    momentum buffer (which carries lr) must be rescaled by new_lr/old_lr;
+    warmup's small per-step ramps stay under the 1.1 threshold and must
+    NOT trigger it."""
+    _tiny_train_cfg()
+    # base 0.01, fine-grained warmup (500 iters, like the reference
+    # configs), decay x0.1 at step 100... which sits inside warmup — move
+    # decay out by testing steps beyond it; the schedule here: warmup to
+    # 500 then steady 0.01 (STEPS [0, 100] decays INSIDE warmup where the
+    # warmup lr applies, so use explicit steps below).
+    config.merge_cfg_from_list([
+        "SOLVER.WARM_UP_ITERS", "20", "SOLVER.STEPS", "[0, 100]"])
+    p = {"box_head": {"fc6": {"w": jnp.ones((1, 1, 1, 8), jnp.float32)}}}
+    g = jax.tree.map(lambda x: jnp.full_like(x, 0.1), p)
+
+    def v_after(step, v0):
+        o = {"momentum": jax.tree.map(lambda x: jnp.full_like(x, v0), p),
+             "step": jnp.int32(step)}
+        _, o2, lr = opt.apply_updates(p, g, o)
+        return float(jax.tree.leaves(o2["momentum"])[0][0, 0, 0, 0]), \
+            float(lr)
+
+    mu = cfg.SOLVER.MOMENTUM
+    wd = cfg.SOLVER.WEIGHT_DECAY
+    # Mid-schedule (no boundary): v = mu*v0 + lr*(g + wd*p)
+    v, lr = v_after(50, 1.0)
+    assert lr == pytest.approx(0.01)
+    assert v == pytest.approx(mu * 1.0 + 0.01 * (0.1 + wd), rel=1e-5)
+    # At the decay step (lr 0.01 -> 0.001, ratio 0.1 < 1/1.1): buffered
+    # history scaled by 0.1 first.
+    v, lr = v_after(100, 1.0)
+    assert lr == pytest.approx(0.001)
+    assert v == pytest.approx(mu * 0.1 + 0.001 * (0.1 + wd), rel=1e-5)
+    # Inside a fine-grained warmup the per-step ratio is < 1.1: no
+    # correction (the threshold exists exactly so warmup ramps don't
+    # rescale the buffer every step).
+    v, lr = v_after(10, 1.0)
+    lr9, lr10 = [0.01 * (1.0 / 3.0 + (1 - 1.0 / 3.0) * s / 20.0)
+                 for s in (9, 10)]
+    assert lr == pytest.approx(lr10, rel=1e-4)
+    assert lr10 / lr9 < cfg.SOLVER.SCALE_MOMENTUM_THRESHOLD
+    assert v == pytest.approx(mu * 1.0 + lr10 * (0.1 + wd), rel=1e-4)
+
+
 def test_train_step_with_remat():
     _tiny_train_cfg()
     config.merge_cfg_from_list(["TPU.REMAT_BODY", "True"])
