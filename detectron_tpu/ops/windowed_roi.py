@@ -474,10 +474,11 @@ def multilevel_roi_align_pallas_ladder(
         return out.reshape(B, R, pooled, pooled, C)
 
     # ---------------- fixup sweeps ----------------
-    cap = -(-max(n // fix_frac, J) // J) * J
+    cap_small = -(-max(n // fix_frac, J) // J) * J
+    cap_full = -(-n // J) * J
     need = ~ok
 
-    def apply_fixups(out_flat):
+    def fix(out_flat):
         lvl = roi_levels(rois_flat.astype(jnp.float32), k_min, k_max,
                          canonical_scale, canonical_level)
         sc = jnp.asarray(scales, jnp.float32)[lvl - k_min]
@@ -504,29 +505,48 @@ def multilevel_roi_align_pallas_ladder(
                     & ((ex + 12.0 <= wx_r) | (wx_r >= Wl)))
             rid = jnp.where(fits, jnp.int32(r), rid)
 
-        for r, (wy_r, wx_r) in enumerate(fix_rungs):
-            sel = need & (rid == r)
-            idx = jnp.nonzero(sel, size=cap,
-                              fill_value=n)[0].astype(jnp.int32)
-            count = jnp.sum(sel.astype(jnp.int32))
-            safe = jnp.minimum(idx, n - 1)
-            fsy, fsx, fvy, fvx, _ = params_flat(rois_flat[safe], wy_r, wx_r)
-            fstarts = jnp.stack([img_idx[safe], fsy, fsx], axis=-1)
-            seg = jnp.stack([jnp.int32(0),
-                             jnp.minimum((count + J - 1) // J, cap // J)])
-            fout = rk.roi_window_pool_seg(
-                canvas, seg, fstarts, fvy, fvx, wy_r, wx_r, pooled,
-                rois_per_step=J, interpret=interpret, out_qp=out_qp)[:cap]
-            # Pad slots carry idx == n -> dropped by the scatter.
-            out_flat = out_flat.at[idx].set(fout.astype(out_flat.dtype),
-                                            mode="drop")
-        return out_flat
+        def sweeps(cap):
+            def run(out_f):
+                for r, (wy_r, wx_r) in enumerate(fix_rungs):
+                    sel = need & (rid == r)
+                    idx = jnp.nonzero(sel, size=cap,
+                                      fill_value=n)[0].astype(jnp.int32)
+                    count = jnp.sum(sel.astype(jnp.int32))
+                    safe = jnp.minimum(idx, n - 1)
+                    fsy, fsx, fvy, fvx, _ = params_flat(
+                        rois_flat[safe], wy_r, wx_r)
+                    fstarts = jnp.stack([img_idx[safe], fsy, fsx], axis=-1)
+                    seg = jnp.stack([
+                        jnp.int32(0),
+                        jnp.minimum((count + J - 1) // J, cap // J)])
+                    fout = rk.roi_window_pool_seg(
+                        canvas, seg, fstarts, fvy, fvx, wy_r, wx_r, pooled,
+                        rois_per_step=J, interpret=interpret,
+                        out_qp=out_qp)[:cap]
+                    # Pad slots carry idx == n -> dropped by the scatter.
+                    out_f = out_f.at[idx].set(fout.astype(out_f.dtype),
+                                              mode="drop")
+                return out_f
+            return run
+
+        if cap_small >= cap_full:
+            return sweeps(cap_full)(out_flat)
+        counts = jnp.stack([
+            jnp.sum((need & (rid == r)).astype(jnp.int32))
+            for r in range(len(fix_rungs))])
+        # Capacity overflow (> n/fix_frac elongated RoIs of one shape
+        # class): re-run the sweeps at FULL capacity — exact for ANY
+        # count; the bigger grid's idle-step cost is paid only on such
+        # batches (same escape-hatch pattern as the NMS pre-top-K
+        # overflow cond in core/test.py).
+        return jax.lax.cond(jnp.any(counts > cap_small),
+                            sweeps(cap_full), sweeps(cap_small), out_flat)
 
     # The entire compaction/sweep/scatter machinery runs only when some
     # RoI actually needs a bigger window (real detection batches: a few
     # percent of images at most have one) — batches of window-covered RoIs
     # pay a single any() reduction.
-    out = jax.lax.cond(jnp.any(need), apply_fixups, lambda o: o, out)
+    out = jax.lax.cond(jnp.any(need), fix, lambda o: o, out)
     return out.reshape(B, R, pooled, pooled, C)
 
 

@@ -62,29 +62,21 @@ def test_ladder_exact_all_shapes():
     np.testing.assert_allclose(out, _ref(pyr, rois), rtol=1e-4, atol=2e-4)
 
 
-def test_ladder_fixup_capacity_overflow_degrades_gracefully():
-    """More elongated RoIs than the fixup capacity (fix_frac makes cap
-    tiny): overflow RoIs keep the (bounded) base-window result, everything
-    within capacity is exact, nothing crashes."""
+def test_ladder_fixup_capacity_overflow_exact_fallback():
+    """More elongated RoIs than the small fixup capacity (16 RoIs with
+    fix_frac=16 -> cap 8): the overflow cond re-runs the sweeps at full
+    capacity, so EVERY RoI is still exact (mirrors the NMS pre-top-K
+    overflow escape)."""
     rng = np.random.RandomState(4)
     B = 1
     pyr = _pyramid(rng, B)
-    # 6 tall RoIs needing fixup, capacity 8/1 -> cap=8 with fix_frac=1;
-    # with fix_frac=8 -> cap = max(8//8, 8)=8 as well. Force cap < need by
-    # many RoIs: 16 RoIs, fix_frac=16 -> cap = max(1, 8) = 8 -> overflow.
     rois = jnp.asarray(np.array([
         [_build(400.0, 0.1, 30.0 + 5 * i, 10.0) for i in range(12)]
         + [_build(150.0, 1.0), _build(900.0, 1.0),
            _build(120.0, 1.0), _build(90.0, 1.0)]], np.float32))
     out = np.asarray(_ladder(pyr, rois, fix_frac=16))
     ref = _ref(pyr, rois)
-    assert np.isfinite(out).all()
-    # cap = 8: at least the first 8 needy RoIs exact; the moderate/top
-    # RoIs (last 4) always exact.
-    np.testing.assert_allclose(out[:, -4:], ref[:, -4:], rtol=1e-4,
-                               atol=2e-4)
-    exact = np.abs(out - ref).max(axis=(2, 3, 4)) < 2e-4
-    assert exact[0, :12].sum() >= 8
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=2e-4)
 
 
 def test_ladder_out_qp_transposed():
