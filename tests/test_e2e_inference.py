@@ -337,3 +337,46 @@ def test_im_detect_all_with_bbox_aug(synthetic_dataset):
             # below x1 (reference bbox_transform semantics)
             assert (b[:, 2] >= b[:, 0] - 1.0).all()
             assert (b[:, 0] >= -1.5).all() and (b[:, 2] <= im.shape[1]).all()
+
+
+def test_c4_full_inference_and_eval(synthetic_dataset, tmp_path):
+    """R-50-C4 end-to-end inference + COCO eval (the BASELINE config #1
+    shape: single-level body, res5 RoI head, no FPN). Locks the C4 slice of
+    the pipeline the same way test_full_inference_and_eval locks FPN."""
+    config.merge_cfg_from_list([
+        "MODEL.CONV_BODY", "ResNet.ResNet50_conv4_body",
+        "MODEL.FASTER_RCNN", "True",
+        "MODEL.MASK_ON", "False",
+        "MODEL.NUM_CLASSES", "4",
+        "FAST_RCNN.ROI_BOX_HEAD", "ResNet.ResNet_roi_conv5_head",
+        "FAST_RCNN.ROI_XFORM_METHOD", "RoIAlign",
+        "FAST_RCNN.ROI_XFORM_RESOLUTION", "14",
+        "FAST_RCNN.ROI_XFORM_SAMPLING_RATIO", "0",
+        "TEST.SCALE", "96",
+        "TEST.MAX_SIZE", "128",
+        "TEST.RPN_PRE_NMS_TOP_N", "64",
+        "TEST.RPN_POST_NMS_TOP_N", "16",
+        "TEST.DETECTIONS_PER_IM", "8",
+        "TEST.SCORE_THRESH", "0.0",
+        "TPU.NMS_TILE_SIZE", "32",
+        "TEST.DATASETS", "('coco_2017_val',)",
+    ])
+    config.assert_and_infer_cfg(make_immutable=False)
+
+    from detectron_tpu.core import test_engine
+    from detectron_tpu.data import task_evaluation
+    from detectron_tpu.data.json_dataset import JsonDataset
+
+    ds = JsonDataset("coco_2017_val")
+    roidb = ds.get_roidb(gt=True)
+    params = test_engine.initialize_model_from_cfg()
+    out_dir = str(tmp_path / "out_c4")
+    all_boxes, all_segms, all_keyps = test_engine.test_net(
+        params, roidb, ds, batch_size=2, output_dir=out_dir)
+
+    assert len(all_boxes) == 4 and len(all_boxes[1]) == 3
+    assert os.path.exists(os.path.join(out_dir, "detections.pkl"))
+    results = task_evaluation.evaluate_all(
+        ds, all_boxes, all_segms, all_keyps, out_dir)
+    assert "box" in results["coco_2017_val"]
+    assert "AP" in results["coco_2017_val"]["box"]
