@@ -239,84 +239,145 @@ def test_net(params, roidb_entries, dataset, batch_size=8, output_dir=None,
             detect_fn = jax.jit(graph)
 
     timers = defaultdict(Timer)
+    # Pre-create: im_load ticks on the loader thread; defaultdict insertion
+    # is not thread-safe against the main thread's timer lookups.
+    for k in ("im_load", "device_wait", "misc"):
+        timers[k]
 
     # Bucket images by orientation to keep canvases static.
     buckets = {"landscape": [], "portrait": []}
     for idx, entry in enumerate(roidb_entries):
         key = "landscape" if entry["width"] >= entry["height"] else "portrait"
         buckets[key].append(idx)
+    batches = [(key, indices[s:s + batch_size])
+               for key, indices in buckets.items()
+               for s in range(0, len(indices), batch_size)]
 
-    for key, indices in buckets.items():
-        for s in range(0, len(indices), batch_size):
-            chunk = indices[s:s + batch_size]
-            pad_to = batch_size
-            timers["im_load"].tic()
-            blobs = []
-            infos = []
-            prop_boxes = []
-            prop_valid = []
-            R = cfg.TEST.PROPOSAL_LIMIT if use_props else 0
-            canvas = blob_utils.static_canvas(
-                cfg.TEST.SCALE, cfg.TEST.MAX_SIZE, key == "landscape")
-            for idx in chunk:
-                entry = roidb_entries[idx]
-                im = cv2.imread(entry["image"])
-                prepped, scale = blob_utils.prep_im_for_blob(
-                    im, cfg.PIXEL_MEANS, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
-                blobs.append(blob_utils.im_to_canvas(prepped, canvas))
-                infos.append([prepped.shape[0], prepped.shape[1], scale])
-                if use_props:
-                    boxes = entry["boxes"][entry["gt_classes"] == 0] * scale
-                    if cfg.DEDUP_BOXES > 0:
-                        keep = box_utils.unique_boxes(boxes, cfg.DEDUP_BOXES)
-                        boxes = boxes[keep]
-                    boxes = boxes[:R]
-                    pad = np.zeros((R, 4), np.float32)
-                    pad[: len(boxes)] = boxes
-                    prop_boxes.append(pad)
-                    v = np.zeros(R, bool)
-                    v[: len(boxes)] = True
-                    prop_valid.append(v)
-            while len(blobs) < pad_to:
-                blobs.append(np.zeros_like(blobs[0]))
-                infos.append([canvas[0], canvas[1], 1.0])
-                if use_props:
-                    prop_boxes.append(np.zeros((R, 4), np.float32))
-                    prop_valid.append(np.zeros(R, bool))
-            timers["im_load"].toc()
+    R = cfg.TEST.PROPOSAL_LIMIT if use_props else 0
 
-            timers["im_detect_bbox"].tic()
-            images_np = np.stack(blobs)
-            if cfg.TPU.S2D_INPUT:
-                images_np = blob_utils.space_to_depth(images_np)
+    def _prepare(key, chunk):
+        """All host-side input work for one batch (cv2 decode/resize/pad)."""
+        timers["im_load"].tic()
+        blobs, infos, prop_boxes, prop_valid = [], [], [], []
+        canvas = blob_utils.static_canvas(
+            cfg.TEST.SCALE, cfg.TEST.MAX_SIZE, key == "landscape")
+        for idx in chunk:
+            entry = roidb_entries[idx]
+            im = cv2.imread(entry["image"])
+            prepped, scale = blob_utils.prep_im_for_blob(
+                im, cfg.PIXEL_MEANS, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
+            blobs.append(blob_utils.im_to_canvas(prepped, canvas))
+            infos.append([prepped.shape[0], prepped.shape[1], scale])
             if use_props:
-                out = detect_fn(
-                    params, jnp.asarray(images_np),
-                    jnp.asarray(np.array(infos, np.float32)),
-                    jnp.asarray(np.stack(prop_boxes)),
-                    jnp.asarray(np.stack(prop_valid)))
-            else:
-                out = detect_fn(params, jnp.asarray(images_np),
-                                jnp.asarray(np.array(infos, np.float32)))
-            out = jax.tree.map(np.asarray, out)
-            timers["im_detect_bbox"].toc()
+                boxes = entry["boxes"][entry["gt_classes"] == 0] * scale
+                if cfg.DEDUP_BOXES > 0:
+                    keep = box_utils.unique_boxes(boxes, cfg.DEDUP_BOXES)
+                    boxes = boxes[keep]
+                boxes = boxes[:R]
+                pad = np.zeros((R, 4), np.float32)
+                pad[: len(boxes)] = boxes
+                prop_boxes.append(pad)
+                v = np.zeros(R, bool)
+                v[: len(boxes)] = True
+                prop_valid.append(v)
+        while len(blobs) < batch_size:
+            blobs.append(np.zeros_like(blobs[0]))
+            infos.append([canvas[0], canvas[1], 1.0])
+            if use_props:
+                prop_boxes.append(np.zeros((R, 4), np.float32))
+                prop_valid.append(np.zeros(R, bool))
+        images_np = np.stack(blobs)
+        if cfg.TPU.S2D_INPUT:
+            images_np = blob_utils.space_to_depth(images_np)
+        timers["im_load"].toc()
+        return chunk, images_np, infos, prop_boxes, prop_valid
 
-            timers["misc"].tic()
-            for bi, idx in enumerate(chunk):
-                cls_boxes, cls_segms, cls_keyps = \
-                    device_outputs_to_image_results(
-                        out, bi, infos, num_classes)
-                extend_results(idx, all_boxes, cls_boxes)
-                if cls_segms is not None:
-                    extend_results(idx, all_segms, cls_segms)
-                if cls_keyps is not None:
-                    extend_results(idx, all_keyps, cls_keyps)
-            timers["misc"].toc()
-        if indices:
+    # Three-way overlap: a loader thread does the cv2 input work for batch
+    # k+1, the device computes batch k (async jit dispatch), and the host
+    # post-processes batch k-1 (mask paste / keypoint decode, parallelized
+    # over the batch — cv2 and the native RLE encoder release the GIL).
+    # The reference overlaps nothing; its per-image loop serializes load,
+    # forward, and paste (lib/core/test_engine.py :: test_net).
+    import queue as queue_mod
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    prep_q = queue_mod.Queue(maxsize=2)
+
+    def _loader():
+        try:
+            for key, chunk in batches:
+                prep_q.put(("ok", _prepare(key, chunk)))
+            prep_q.put(("done", None))
+        except BaseException as e:  # surface in the consumer
+            prep_q.put(("err", e))
+
+    loader = threading.Thread(target=_loader, daemon=True)
+    loader.start()
+
+    post_pool = ThreadPoolExecutor(
+        max(1, int(cfg.DATA_LOADER.NUM_THREADS)))
+
+    def _post(chunk, infos, out):
+        timers["device_wait"].tic()
+        out = jax.tree.map(np.asarray, out)  # sync point for this batch
+        timers["device_wait"].toc()
+        timers["misc"].tic()
+
+        def one(bi_idx):
+            bi, idx = bi_idx
+            return idx, device_outputs_to_image_results(
+                out, bi, infos, num_classes)
+
+        for idx, (cls_boxes, cls_segms, cls_keyps) in post_pool.map(
+                one, list(enumerate(chunk))):
+            extend_results(idx, all_boxes, cls_boxes)
+            if cls_segms is not None:
+                extend_results(idx, all_segms, cls_segms)
+            if cls_keyps is not None:
+                extend_results(idx, all_keyps, cls_keyps)
+        timers["misc"].toc()
+
+    t_wall = Timer()
+    t_wall.tic()
+    n_done = 0
+    pending = None
+    while True:
+        tag, item = prep_q.get()
+        if tag == "err":
+            raise item
+        if tag == "done":
+            break
+        chunk, images_np, infos, prop_boxes, prop_valid = item
+        if use_props:
+            out = detect_fn(
+                params, jnp.asarray(images_np),
+                jnp.asarray(np.array(infos, np.float32)),
+                jnp.asarray(np.stack(prop_boxes)),
+                jnp.asarray(np.stack(prop_valid)))
+        else:
+            out = detect_fn(params, jnp.asarray(images_np),
+                            jnp.asarray(np.array(infos, np.float32)))
+        if pending is not None:
+            _post(*pending)
+        pending = (chunk, infos, out)
+        n_done += len(chunk)
+        if n_done % (batch_size * 8) < batch_size:
             logger.info(
-                "%s: %d images | detect %.3fs/batch, load %.3fs, misc %.3fs",
-                key, len(indices), timers["im_detect_bbox"].average_time,
-                timers["im_load"].average_time, timers["misc"].average_time)
+                "test_net: %d/%d | load %.3fs, device wait %.3fs, "
+                "post %.3fs per batch", n_done, num_images,
+                timers["im_load"].average_time,
+                timers["device_wait"].average_time,
+                timers["misc"].average_time)
+    if pending is not None:
+        _post(*pending)
+    loader.join()
+    post_pool.shutdown()
+    t_wall.toc()
+    if num_images:
+        logger.info("test_net: %d images in %.1fs (%.2f img/s end-to-end)",
+                    num_images, t_wall.total_time,
+                    num_images / max(t_wall.total_time, 1e-9))
 
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
