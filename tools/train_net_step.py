@@ -196,6 +196,7 @@ def main():
         1, int(len(roidb) / batch_size / args.ckpt_num_per_epoch))
 
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    pending_stats = None
     try:
         with mesh:
             for step in range(start_step, cfg.SOLVER.MAX_ITER):
@@ -211,12 +212,25 @@ def main():
                 params, opt_state, stats = step_fn(
                     params, opt_state, batch, jax.random.fold_in(rng, step))
                 training_stats.IterToc()
-                training_stats.UpdateIterStats(
-                    jax.tree.map(np.asarray, stats), step)
-                training_stats.LogIterStats(step)
+                # Deferred stats readback: materialize step k-1's losses
+                # while step k computes (jit dispatch is async; the
+                # np.asarray here is the only per-step host sync point, and
+                # on the tunnel it costs a full round-trip).
+                if pending_stats is not None:
+                    p_stats, p_step = pending_stats
+                    training_stats.UpdateIterStats(
+                        jax.tree.map(np.asarray, p_stats), p_step)
+                    training_stats.LogIterStats(p_step)
+                pending_stats = (stats, step)
                 if (not args.no_save and is_chief and step > 0
                         and step % ckpt_interval == 0):
                     net_utils.save_ckpt(output_dir, step, params, opt_state)
+            if pending_stats is not None:
+                p_stats, p_step = pending_stats
+                training_stats.UpdateIterStats(
+                    jax.tree.map(np.asarray, p_stats), p_step)
+                training_stats.LogIterStats(p_step)
+                pending_stats = None
         if not args.no_save and is_chief:
             net_utils.save_ckpt(
                 output_dir, cfg.SOLVER.MAX_ITER, params, opt_state)
