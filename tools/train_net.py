@@ -143,6 +143,17 @@ def main():
     training_stats = TrainingStats(args, args.disp_interval, tblogger)
 
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    pending_stats = None
+
+    def _flush_stats():
+        nonlocal pending_stats
+        if pending_stats is not None:
+            p_stats, p_step = pending_stats
+            training_stats.UpdateIterStats(
+                jax.tree.map(np.asarray, p_stats), p_step)
+            training_stats.LogIterStats(p_step)
+            pending_stats = None
+
     try:
         with mesh:
             for epoch in range(start_epoch, args.num_epochs):
@@ -155,9 +166,11 @@ def main():
                         params, opt_state, batch,
                         jax.random.fold_in(rng, step))
                     training_stats.IterToc()
-                    training_stats.UpdateIterStats(
-                        jax.tree.map(np.asarray, stats), step)
-                    training_stats.LogIterStats(step)
+                    # Step k-1's losses materialize while step k computes
+                    # (the np.asarray is the only per-step host sync).
+                    _flush_stats()
+                    pending_stats = (stats, step)
+                _flush_stats()
                 if not args.no_save:
                     net_utils.save_ckpt(
                         output_dir, (epoch + 1) * steps_per_epoch, params,
