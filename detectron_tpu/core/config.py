@@ -367,6 +367,14 @@ __C.TPU.ROI_LADDER = True
 # feature extents to ~61 tall / ~86 wide (aspect ratios ~5-9 at band-top
 # sizes). window_x must be a multiple of 8 (sublane alignment).
 __C.TPU.ROI_RUNGS = ((32, 40), (64, 48), (32, 96))
+# Narrow-base ladder: keep the BASE sweep at ROI_RUNGS[0] instead of
+# widening it to whole-top-level x coverage (a ~17% cut of the dominant
+# base-sweep window DMA at the 832x1344 canvas: (32, 40) vs (32, 48));
+# top-level RoIs route through an auto-appended whole-top-level fixup rung
+# with a generous n/4 compaction capacity (full-capacity lax.cond escape
+# beyond that). Exactness is identical either way — this only moves DMA.
+# Default off pending hardware A/B (see PERF.md).
+__C.TPU.ROI_LADDER_NARROW = False
 # Space-to-depth stem: compute the 7x7/s2 stem conv as the mathematically
 # identical 4x4/s1 conv on 2x2-blocked input (12 channels) — the MLPerf-era
 # TPU trick. MEASURED SLOWER here (v5e, 832x1344 batch 32: +4.6 ms vs the

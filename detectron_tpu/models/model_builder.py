@@ -316,7 +316,7 @@ def roi_feature_transform(params, features, scales, rois, resolution,
                 list(roi_feats), tuple(roi_scales), rois, resolution,
                 sampling_ratio, k_min, k_max,
                 cfg.FPN.ROI_CANONICAL_SCALE, cfg.FPN.ROI_CANONICAL_LEVEL,
-                rungs, 8, interp, out_qp)
+                rungs, 8, interp, out_qp, cfg.TPU.ROI_LADDER_NARROW)
 
         # Single-window hybrid: Pallas window-DMA kernel below the top level
         # + dense exact top level (no sample clamping for oversize RoIs,

@@ -76,7 +76,60 @@ def multilevel_roi_align(pyramid, scales, rois, pooled, sampling_ratio,
     Hl = heights[lvl]
     Wl = widths[lvl]
     off = offsets[lvl]
+    return _gather_pool(flat, rois, off, Hl, Wl, lvl_scale, pooled,
+                        sampling_ratio, chunk, dtype)
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pooled", "sampling_ratio", "k_min", "k_max", "chunk",
+                     "canonical_scale", "canonical_level"),
+)
+def multilevel_roi_align_flat(pyramid, scales, rois, img_idx, pooled,
+                              sampling_ratio, k_min, k_max,
+                              canonical_scale=224, canonical_level=4,
+                              chunk=128):
+    """Flat-batch variant: pyramid levels are (B, H_l, W_l, C); rois is
+    (R, 4) with img_idx (R,) int32 naming each RoI's image. Levels flatten
+    image-major per level, so the per-RoI gather base is
+    level_offset[lvl] + img_idx * (H_l * W_l). Exact same numerics as
+    multilevel_roi_align — used as the ladder's compacted sliver fixup
+    (ops/windowed_roi.py) where RoIs from different images mix."""
+    assert sampling_ratio > 0, "gather path requires a static sampling ratio"
+    L = len(pyramid)
+    assert L == k_max - k_min + 1
+    C = pyramid[0].shape[-1]
+    B = pyramid[0].shape[0]
+    dtype = pyramid[0].dtype
+
+    heights = jnp.asarray([f.shape[1] for f in pyramid], jnp.float32)
+    widths = jnp.asarray([f.shape[2] for f in pyramid], jnp.float32)
+    areas = jnp.asarray([f.shape[1] * f.shape[2] for f in pyramid],
+                        jnp.float32)
+    sizes = [B * f.shape[1] * f.shape[2] for f in pyramid]
+    offsets = jnp.asarray(
+        [sum(sizes[:i]) for i in range(L)], jnp.float32)
+    flat = jnp.concatenate([f.reshape(-1, C) for f in pyramid], axis=0)
+
+    rois = rois.astype(jnp.float32)
+    w = rois[:, 2] - rois[:, 0] + 1.0
+    h = rois[:, 3] - rois[:, 1] + 1.0
+    s = jnp.sqrt(jnp.maximum(w * h, 1e-12))
+    lvl = jnp.clip(
+        jnp.floor(canonical_level + jnp.log2(s / canonical_scale + 1e-6)),
+        k_min, k_max).astype(jnp.int32) - k_min
+
+    lvl_scale = jnp.asarray(scales, jnp.float32)[lvl]
+    Hl = heights[lvl]
+    Wl = widths[lvl]
+    off = offsets[lvl] + img_idx.astype(jnp.float32) * areas[lvl]
+    return _gather_pool(flat, rois, off, Hl, Wl, lvl_scale, pooled,
+                        sampling_ratio, chunk, dtype)
+
+
+def _gather_pool(flat, rois, off, Hl, Wl, lvl_scale, pooled, sampling_ratio,
+                 chunk, dtype):
+    C = flat.shape[-1]
     x1 = rois[:, 0] * lvl_scale
     y1 = rois[:, 1] * lvl_scale
     roi_w = jnp.maximum((rois[:, 2] - rois[:, 0]) * lvl_scale, 1.0)

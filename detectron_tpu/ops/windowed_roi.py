@@ -361,13 +361,15 @@ def multilevel_roi_align_pallas(pyramid, scales, rois, pooled,
     jax.jit,
     static_argnames=("pooled", "sampling_ratio", "k_min", "k_max", "rungs",
                      "rois_per_step", "canonical_scale", "canonical_level",
-                     "interpret", "out_qp", "fix_frac"),
+                     "interpret", "out_qp", "fix_frac", "narrow_base",
+                     "top_frac"),
 )
 def multilevel_roi_align_pallas_ladder(
         pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
         canonical_scale=224, canonical_level=4,
         rungs=((32, 40), (64, 48), (32, 96)), rois_per_step=8,
-        interpret=False, out_qp=False, fix_frac=64):
+        interpret=False, out_qp=False, fix_frac=64, narrow_base=False,
+        top_frac=4):
     """Batched Pallas RoIAlign with a per-RoI-shape WINDOW LADDER.
 
     The BASE sweep is exactly the single-window full-canvas kernel (rung 0
@@ -383,12 +385,23 @@ def multilevel_roi_align_pallas_ladder(
     capped at n/fix_frac RoIs and whose DMA is proportional to the ACTUAL
     elongated count — a few percent in real detection workloads.
 
-    Exactness domain (defaults, bf16 canvas): one-axis feature extent to
-    ~61 cells tall / ~86 wide (aspect ratios ~5-9 at band-top sizes).
-    Residuals, all bounded clamp approximations rather than errors: RoIs
-    beyond every rung's coverage; rung capacity overflow (> n/fix_frac
-    elongated RoIs of one class); rung shapes shrunk by the scoped-VMEM
-    fitter (fit_window_x) at f32/pooled=14 combinations.
+    EXACT for every RoI: rung-covered RoIs pool in the kernel; the rare
+    RoIs beyond every rung's coverage (aspect ~>=10 at band-top sizes,
+    including shapes uncovered because the scoped-VMEM fitter shrank a
+    rung at f32/pooled=14) route through a compacted exact-gather fixup
+    (ops/multilevel_roi.py :: multilevel_roi_align_flat) under the same
+    lax.cond + full-capacity escape hatch as the rung sweeps — matching
+    the reference CUDA kernel (lib/modeling/roi_xfrom/roi_align), which
+    is exact for all shapes.
+
+    narrow_base: do NOT widen the base window to whole-top-level x
+    coverage — the base stays at rungs[0] (e.g. (32, 40) vs the widened
+    (32, 48) at the 832x1344 canvas, a ~17% cut of the dominant base-sweep
+    DMA) and top-level RoIs the base cannot cover route through an
+    auto-appended whole-top-level fixup rung with its own generous
+    compaction capacity n/top_frac (top-level RoIs are common, unlike
+    elongated ones). Same exactness everywhere — only the DMA/capacity
+    routing changes.
 
     Returns (B, R, pooled, pooled, C) — (q, p)-transposed per RoI with
     out_qp=True (absorbed by the box-head FC weight permutation)."""
@@ -404,21 +417,32 @@ def multilevel_roi_align_pallas_ladder(
     H_top, W_top = pyramid[-1].shape[1], pyramid[-1].shape[2]
     wy_base = rungs[0][0]
     # Base window geometry == multilevel_roi_align_pallas(x_cover=W_top):
-    # whole-top-level x coverage when the top level fits the base height.
-    x_cover = W_top if H_top <= wy_base else 0
+    # whole-top-level x coverage when the top level fits the base height
+    # (narrow_base opts out and routes top RoIs through a fixup rung).
+    x_cover = 0 if narrow_base else (W_top if H_top <= wy_base else 0)
     wx_base = -(-max(rungs[0][1], wy_base + 8, x_cover) // 8) * 8
+
+    fix_shapes = list(rungs[1:])
+    fracs = [fix_frac] * len(fix_shapes)
+    if narrow_base:
+        # Whole-top-level rung, FIRST so every top RoI (and cheap slightly-
+        # wide mid RoIs) routes here rather than to a taller/wider rung.
+        top_rung = (max(wy_base, H_top),
+                    -(-max(W_top, wy_base + 8) // 8) * 8)
+        fix_shapes = [top_rung] + fix_shapes
+        fracs = [top_frac] + fracs
 
     # Fixup rungs, shrunk to the scoped-VMEM budget where needed.
     fix_rungs = tuple(
         (wy, rk.fit_window_x(J, pooled, wy, wx, C, item))
-        for wy, wx in rungs[1:])
-    wy_max = max([wy_base] + [wy for wy, _ in rungs[1:]])
+        for wy, wx in fix_shapes)
+    wy_max = max([wy_base] + [wy for wy, _ in fix_shapes])
     # Canvas x-pad uses the UNSHRUNK max rung width: padding is free, and
     # keeping the canvas shape independent of the per-pooled-size VMEM
     # shrink makes the box (pooled=7) and mask (pooled=14) calls build
     # byte-identical canvases that XLA CSEs into one (measured: the second
     # build cost 6.9 ms/step at batch 32 when the widths differed).
-    wx_max = max([wx_base] + [wx for _, wx in rungs[1:]])
+    wx_max = max([wx_base] + [wx for _, wx in fix_shapes])
 
     hp_last = max(H_top, wy_base)
     # Fixup rungs read below a level's block only for levels they can be
@@ -474,8 +498,10 @@ def multilevel_roi_align_pallas_ladder(
         return out.reshape(B, R, pooled, pooled, C)
 
     # ---------------- fixup sweeps ----------------
-    cap_small = -(-max(n // fix_frac, J) // J) * J
     cap_full = -(-n // J) * J
+    cap_small = min(-(-max(n // fix_frac, J) // J) * J, cap_full)
+    caps_small = tuple(
+        min(-(-max(n // f, J) // J) * J, cap_full) for f in fracs)
     need = ~ok
 
     def fix(out_flat):
@@ -499,15 +525,18 @@ def multilevel_roi_align_pallas_ladder(
         widest = max(range(len(fix_rungs)), key=lambda i: fix_rungs[i][1])
         tallest = max(range(len(fix_rungs)), key=lambda i: fix_rungs[i][0])
         rid = jnp.where(ex >= ey, jnp.int32(widest), jnp.int32(tallest))
+        covered = jnp.zeros_like(need)
         for r in range(len(fix_rungs) - 1, -1, -1):
             wy_r, wx_r = fix_rungs[r]
             fits = (((ey + 4.0 <= wy_r) | (wy_r >= Hl))
                     & ((ex + 12.0 <= wx_r) | (wx_r >= Wl)))
             rid = jnp.where(fits, jnp.int32(r), rid)
+            covered = covered | fits
 
-        def sweeps(cap):
+        def sweeps(caps):
             def run(out_f):
                 for r, (wy_r, wx_r) in enumerate(fix_rungs):
+                    cap = caps[r]
                     sel = need & (rid == r)
                     idx = jnp.nonzero(sel, size=cap,
                                       fill_value=n)[0].astype(jnp.int32)
@@ -529,18 +558,61 @@ def multilevel_roi_align_pallas_ladder(
                 return out_f
             return run
 
+        caps_full = (cap_full,) * len(fix_rungs)
+        if all(c >= cap_full for c in caps_small):
+            out_flat = sweeps(caps_full)(out_flat)
+        else:
+            counts = jnp.stack([
+                jnp.sum((need & (rid == r)).astype(jnp.int32))
+                for r in range(len(fix_rungs))])
+            # Capacity overflow (more RoIs routed to a rung than its
+            # compaction cap — > n/fix_frac elongated RoIs of one shape
+            # class, or > n/top_frac top-level RoIs under narrow_base):
+            # re-run the sweeps at FULL capacity — exact for ANY count;
+            # the bigger grid's idle-step cost is paid only on such
+            # batches (same escape-hatch pattern as the NMS pre-top-K
+            # overflow cond in core/test.py).
+            caps_arr = jnp.asarray(caps_small, jnp.int32)
+            out_flat = jax.lax.cond(jnp.any(counts > caps_arr),
+                                    sweeps(caps_full), sweeps(caps_small),
+                                    out_flat)
+
+        # Beyond-ladder slivers (no rung — even VMEM-shrunk — covers the
+        # RoI, aspect ~>= 10 at band-top sizes): EXACT gather fixup, the
+        # same formulation the trainable backward transposes
+        # (ops/multilevel_roi.py). Compacted like the rung sweeps, with
+        # the same full-capacity escape hatch; batches without such RoIs
+        # (all practical detection workloads) pay one any() reduction.
+        from detectron_tpu.ops import multilevel_roi as ml
+
+        sliver = need & ~covered
+
+        def gather_fix(cap):
+            def run(out_f):
+                idx = jnp.nonzero(sliver, size=cap,
+                                  fill_value=n)[0].astype(jnp.int32)
+                safe = jnp.minimum(idx, n - 1)
+                vals = ml.multilevel_roi_align_flat(
+                    list(pyramid), scales, rois_flat[safe], img_idx[safe],
+                    pooled, sampling_ratio, k_min, k_max,
+                    canonical_scale=canonical_scale,
+                    canonical_level=canonical_level, chunk=min(cap, 128))
+                if out_qp:
+                    vals = jnp.swapaxes(vals, 1, 2)
+                return out_f.at[idx].set(vals.astype(out_f.dtype),
+                                         mode="drop")
+            return run
+
+        n_sliver = jnp.sum(sliver.astype(jnp.int32))
         if cap_small >= cap_full:
-            return sweeps(cap_full)(out_flat)
-        counts = jnp.stack([
-            jnp.sum((need & (rid == r)).astype(jnp.int32))
-            for r in range(len(fix_rungs))])
-        # Capacity overflow (> n/fix_frac elongated RoIs of one shape
-        # class): re-run the sweeps at FULL capacity — exact for ANY
-        # count; the bigger grid's idle-step cost is paid only on such
-        # batches (same escape-hatch pattern as the NMS pre-top-K
-        # overflow cond in core/test.py).
-        return jax.lax.cond(jnp.any(counts > cap_small),
-                            sweeps(cap_full), sweeps(cap_small), out_flat)
+            return jax.lax.cond(n_sliver > 0, gather_fix(cap_full),
+                                lambda of: of, out_flat)
+        return jax.lax.cond(
+            n_sliver > 0,
+            lambda of: jax.lax.cond(n_sliver > cap_small,
+                                    gather_fix(cap_full),
+                                    gather_fix(cap_small), of),
+            lambda of: of, out_flat)
 
     # The entire compaction/sweep/scatter machinery runs only when some
     # RoI actually needs a bigger window (real detection batches: a few
@@ -551,34 +623,33 @@ def multilevel_roi_align_pallas_ladder(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5, 6, 7, 8, 9,
-                                                    10, 11, 12))
+                                                    10, 11, 12, 13))
 def multilevel_roi_align_ladder_trainable(
         pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
         canonical_scale, canonical_level, rungs, rois_per_step, interpret,
-        out_qp=False):
+        out_qp=False, narrow_base=False):
     """Differentiable (w.r.t. pyramid) ladder RoIAlign. Forward is the
-    rung-segmented Pallas kernel (exact RoIAlign for every rung-covered
-    RoI); backward is the linear transpose of the EXACT gather formulation
-    (ops/multilevel_roi.py) — the same linear map as the forward wherever
-    the forward is exact, i.e. every practical RoI shape (beyond-ladder
-    slivers clamp in the forward only; their gradient follows the exact
-    map, a documented residual). RoIs get zero cotangent (proposals are
-    detached, as in the reference where proposals are host numpy)."""
+    rung-segmented Pallas kernel plus the exact-gather sliver fixup (exact
+    RoIAlign for EVERY RoI); backward is the linear transpose of the same
+    exact gather formulation (ops/multilevel_roi.py) — the identical
+    linear map. RoIs get zero cotangent (proposals are detached, as in
+    the reference where proposals are host numpy)."""
     return multilevel_roi_align_pallas_ladder(
         pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
         canonical_scale=canonical_scale, canonical_level=canonical_level,
         rungs=rungs, rois_per_step=rois_per_step, interpret=interpret,
-        out_qp=out_qp)
+        out_qp=out_qp, narrow_base=narrow_base)
 
 
 def _ladder_trainable_fwd(pyramid, scales, rois, pooled, sampling_ratio,
                           k_min, k_max, canonical_scale, canonical_level,
-                          rungs, rois_per_step, interpret, out_qp=False):
+                          rungs, rois_per_step, interpret, out_qp=False,
+                          narrow_base=False):
     out = multilevel_roi_align_pallas_ladder(
         pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
         canonical_scale=canonical_scale, canonical_level=canonical_level,
         rungs=rungs, rois_per_step=rois_per_step, interpret=interpret,
-        out_qp=out_qp)
+        out_qp=out_qp, narrow_base=narrow_base)
     pyr_struct = jax.tree.map(
         lambda f: jax.ShapeDtypeStruct(f.shape, f.dtype), list(pyramid))
     return out, (rois, pyr_struct)
@@ -586,7 +657,8 @@ def _ladder_trainable_fwd(pyramid, scales, rois, pooled, sampling_ratio,
 
 def _ladder_trainable_bwd(scales, pooled, sampling_ratio, k_min, k_max,
                           canonical_scale, canonical_level, rungs,
-                          rois_per_step, interpret, out_qp, res, ct):
+                          rois_per_step, interpret, out_qp, narrow_base,
+                          res, ct):
     from detectron_tpu.ops import multilevel_roi as ml
 
     rois, pyr_struct = res

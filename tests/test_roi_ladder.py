@@ -160,18 +160,81 @@ def test_ladder_model_level_matches_gather_impl():
                                rtol=1e-4, atol=2e-4)
 
 
-def test_ladder_beyond_ladder_sliver_bounded():
-    """A sliver beyond every rung's coverage (aspect ~37 at band-top) must
-    not crash, must stay finite, and must still be exact in the bins its
-    fallback rung covers; everything else in the batch stays exact."""
+def test_ladder_beyond_ladder_sliver_exact():
+    """Slivers beyond every rung's coverage (aspect ~37 at band-top) route
+    through the compacted exact-gather fixup: the WHOLE batch — slivers
+    included — matches the exact gather reference (the reference CUDA
+    kernel is exact for all shapes)."""
     rng = np.random.RandomState(7)
-    B = 1
+    B = 2
     pyr = _pyramid(rng, B)
     rois = jnp.asarray(np.array([
         [_build(150.0, 1.0), [5.0, 300.0, 1300.0, 330.0],
-         _build(400.0, 1.0), _build(200.0, 2.0)]], np.float32))
+         _build(400.0, 1.0), _build(200.0, 2.0)]] * B, np.float32))
     out = np.asarray(_ladder(pyr, rois))
     ref = _ref(pyr, rois)
     assert np.isfinite(out).all()
-    np.testing.assert_allclose(out[:, [0, 2, 3]], ref[:, [0, 2, 3]],
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=2e-4)
+
+
+def _pyramid_prod(rng, B, C=8):
+    """Production 832x1344-canvas FPN geometry (W_top=42 > the narrow base
+    window 40, so narrow_base actually changes the base geometry)."""
+    return [jnp.asarray(rng.randn(B, h, w, C).astype(np.float32))
+            for h, w in ((208, 336), (104, 168), (52, 84), (26, 42))]
+
+
+def test_ladder_narrow_base_exact():
+    """narrow_base=True (base stays (32, 40); top-level RoIs route through
+    the auto-appended whole-top-level rung): exact for the same RoI mix as
+    the widened-base default, and identical to it."""
+    rng = np.random.RandomState(12)
+    B = 2
+    pyr = _pyramid_prod(rng, B)
+    rois = jnp.asarray(np.array([
+        [_build(150.0, 1.0), _build(900.0, 1.0), _build(1200.0, 2.0),
+         _build(400.0, 4.0), _build(300.0, 0.33), _build(700.0, 1.0),
+         _build(120.0, 1.0, 500.0, 400.0), _build(200.0, 2.0)]] * B,
+        np.float32))
+    ref = _ref(pyr, rois)
+    out_n = np.asarray(_ladder(pyr, rois, narrow_base=True))
+    np.testing.assert_allclose(out_n, ref, rtol=1e-4, atol=2e-4)
+    out_w = np.asarray(_ladder(pyr, rois))
+    np.testing.assert_allclose(out_n, out_w, rtol=1e-4, atol=2e-4)
+
+
+def test_ladder_narrow_top_rung_overflow():
+    """More top-level RoIs than the top rung's n/top_frac capacity: the
+    per-rung overflow cond re-runs at full capacity — still exact."""
+    rng = np.random.RandomState(13)
+    B = 1
+    pyr = _pyramid_prod(rng, B)
+    # 12 of 16 RoIs are top-level (s >= 448 maps to level 5); top_frac=4
+    # gives cap max(16 // 4, 8) = 8 < 12 -> overflow escape.
+    rois = jnp.asarray(np.array([
+        [_build(600.0 + 20.0 * i, 1.0, 10.0 * i, 5.0 * i)
+         for i in range(12)]
+        + [_build(150.0, 1.0), _build(300.0, 1.0), _build(400.0, 4.0),
+           _build(120.0, 1.0)]], np.float32))
+    out = np.asarray(_ladder(pyr, rois, narrow_base=True, top_frac=4))
+    np.testing.assert_allclose(out, _ref(pyr, rois), rtol=1e-4, atol=2e-4)
+
+
+def test_ladder_sliver_fixup_out_qp_and_overflow():
+    """The sliver gather fixup under out_qp=True (box-head production
+    layout) and with more slivers than the small compaction capacity
+    (forces the full-capacity escape hatch)."""
+    rng = np.random.RandomState(11)
+    B = 1
+    pyr = _pyramid(rng, B)
+    # 6 vertical slivers (aspect ~1/30 at mid sizes) + 2 normal RoIs;
+    # fix_frac=64 with n=8 gives cap_small=J=8 >= cap_full -> full path;
+    # also run with fix_frac=1 (cap_small >= cap_full branch).
+    slivers = [[10.0 + 8 * i, 5.0, 18.0 + 8 * i, 700.0] for i in range(6)]
+    rois = jnp.asarray(
+        np.array([slivers + [_build(100.0, 1.0), _build(300.0, 1.0)]],
+                 np.float32))
+    ref = _ref(pyr, rois)
+    out = np.asarray(_ladder(pyr, rois, out_qp=True))
+    np.testing.assert_allclose(np.swapaxes(out, 2, 3), ref,
                                rtol=1e-4, atol=2e-4)
