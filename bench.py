@@ -10,6 +10,7 @@ throughput numbers).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -32,6 +33,12 @@ def main():
     config.merge_cfg_from_list([
         "TPU.COMPUTE_DTYPE", "bfloat16",
     ])
+    # A/B hook: BENCH_SET="KEY VALUE KEY VALUE ..." applies extra config
+    # overrides (e.g. BENCH_SET="TPU.ROI_LADDER_NARROW True") without
+    # editing this file; empty/unset is the production default.
+    extra = os.environ.get("BENCH_SET", "").split()
+    if extra:
+        config.merge_cfg_from_list(extra)
     config.assert_and_infer_cfg(make_immutable=False)
 
     B = 48  # batch per chip (measured: 32 -> 142.7, 48 -> 144.7, 64 -> 144.7 img/s)
@@ -55,8 +62,13 @@ def main():
     # Feed bf16 images: the graph's first conv casts to the bf16 compute
     # dtype anyway, and the f32 parameter forced a 429 MB convert+relayout
     # inside the graph (xprof: copy.402 + convert, ~3 ms/step).
-    images = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32) * 20.0,
-                         dtype=jnp.bfloat16)
+    images_np = rng.randn(B, H, W, 3).astype(np.float32) * 20.0
+    if config.cfg.TPU.S2D_INPUT:
+        # The blocked-stem graph consumes host space-to-depth input
+        # (data/loader.py does this in production; same op here).
+        from detectron_tpu.utils import blob as blob_utils
+        images_np = blob_utils.space_to_depth(images_np)
+    images = jnp.asarray(images_np, dtype=jnp.bfloat16)
     im_info = jnp.asarray([[800.0, 1333.0, 1.6]] * B, jnp.float32)
 
     # AUTO input layouts: let the compiler pick its preferred in-memory
@@ -67,16 +79,21 @@ def main():
     from jax.experimental.layout import Format, Layout
 
     images2 = images + 1.0
-    # AUTO on the images only: params stay default (the tunnel's
-    # device_put does not reproduce some exotic weight tilings).
-    fn = jax.jit(
-        test_engine.detect_graph,
-        in_shardings=(None, Format(Layout.AUTO), None)).lower(
-        params, jax.ShapeDtypeStruct(images.shape, images.dtype),
-        im_info).compile()
-    img_fmt = fn.input_formats[0][1]
-    images = jax.device_put(images, img_fmt)
-    images2 = jax.device_put(images2, img_fmt)
+    try:
+        # AUTO on the images only: params stay default (the tunnel's
+        # device_put does not reproduce some exotic weight tilings).
+        fn = jax.jit(
+            test_engine.detect_graph,
+            in_shardings=(None, Format(Layout.AUTO), None)).lower(
+            params, jax.ShapeDtypeStruct(images.shape, images.dtype),
+            im_info).compile()
+        img_fmt = fn.input_formats[0][1]
+        images = jax.device_put(images, img_fmt)
+        images2 = jax.device_put(images2, img_fmt)
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print("# AUTO layout unavailable ({}); default layouts".format(
+            type(e).__name__))
+        fn = jax.jit(test_engine.detect_graph)
 
     # Warmup / compile. NOTE: a small host readback is the synchronization
     # point — block_until_ready does not reliably fence the tunnel backend.
