@@ -65,6 +65,19 @@ def main():
     b[0] += 4.5
     b[1:] += rng.randn(b.size - 1).astype(np.float32) * 0.5
     params["box_outs"]["cls_score"]["b"] = jnp.asarray(b)
+    # Same realism fix for the RPN box deltas: random-init rpn_bbox_pred
+    # emits deltas with std ~50-90 (measured), so every proposal rails at
+    # the +-4 bbox-transform clip and decodes to degenerate ~1300x0.25-px
+    # slivers — shapes a trained RPN essentially never proposes, which
+    # route the RoIAlign ladder through its pathological-batch escape
+    # hatches every step. Scale the regression head so deltas have a
+    # trained-like magnitude (std ~0.3); proposals then follow the
+    # clipped-anchor shape distribution (sliver count 0, fixup-rung
+    # traffic ~12% — the production work mix). Delta vs uncalibrated is
+    # reported in PERF.md.
+    for k in ("w", "b"):
+        params["rpn"]["rpn_bbox_pred"][k] = (
+            params["rpn"]["rpn_bbox_pred"][k] * 0.005)
     # Feed bf16 images: the graph's first conv casts to the bf16 compute
     # dtype anyway, and the f32 parameter forced a 429 MB convert+relayout
     # inside the graph (xprof: copy.402 + convert, ~3 ms/step).

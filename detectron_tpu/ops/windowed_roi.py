@@ -568,14 +568,30 @@ def multilevel_roi_align_pallas_ladder(
             # Capacity overflow (more RoIs routed to a rung than its
             # compaction cap — > n/fix_frac elongated RoIs of one shape
             # class, or > n/top_frac top-level RoIs under narrow_base):
-            # re-run the sweeps at FULL capacity — exact for ANY count;
-            # the bigger grid's idle-step cost is paid only on such
-            # batches (same escape-hatch pattern as the NMS pre-top-K
-            # overflow cond in core/test.py).
+            # escalate through CAPACITY TIERS (n/fix_frac -> n/8 -> full)
+            # rather than jumping straight to full — exact for ANY count,
+            # and the sweep cost stays proportional to the actual overflow
+            # (a border-clip-heavy batch pays the n/8 tier, not a 48x
+            # full-capacity re-run; measured 144.7 -> 37.9 img/s when the
+            # old two-tier cond jumped to full under such a batch). Same
+            # escape-hatch pattern as the NMS pre-top-K overflow cond in
+            # core/test.py.
+            caps_mid = tuple(
+                min(max(c, -(-max(n // 8, J) // J) * J), cap_full)
+                for c in caps_small)
             caps_arr = jnp.asarray(caps_small, jnp.int32)
-            out_flat = jax.lax.cond(jnp.any(counts > caps_arr),
-                                    sweeps(caps_full), sweeps(caps_small),
-                                    out_flat)
+            over_small = jnp.any(counts > caps_arr)
+            if all(m >= cap_full for m in caps_mid) or caps_mid == caps_small:
+                out_flat = jax.lax.cond(over_small, sweeps(caps_full),
+                                        sweeps(caps_small), out_flat)
+            else:
+                mid_arr = jnp.asarray(caps_mid, jnp.int32)
+                over_mid = jnp.any(counts > mid_arr)
+                out_flat = jax.lax.cond(
+                    over_small,
+                    lambda of: jax.lax.cond(over_mid, sweeps(caps_full),
+                                            sweeps(caps_mid), of),
+                    sweeps(caps_small), out_flat)
 
         # Beyond-ladder slivers (no rung — even VMEM-shrunk — covers the
         # RoI, aspect ~>= 10 at band-top sizes): EXACT gather fixup, the
@@ -607,12 +623,27 @@ def multilevel_roi_align_pallas_ladder(
         if cap_small >= cap_full:
             return jax.lax.cond(n_sliver > 0, gather_fix(cap_full),
                                 lambda of: of, out_flat)
-        return jax.lax.cond(
-            n_sliver > 0,
-            lambda of: jax.lax.cond(n_sliver > cap_small,
-                                    gather_fix(cap_full),
-                                    gather_fix(cap_small), of),
-            lambda of: of, out_flat)
+        # Same capacity-tier escalation as the rung sweeps: the gather
+        # formulation costs ~linearly in its compaction cap, so a batch
+        # with slightly-too-many slivers should pay the n/8 tier, not a
+        # full-capacity gather over EVERY RoI (the all-RoI gather is the
+        # 26 img/s round-1 path).
+        cap_mid = min(max(cap_small, -(-max(n // 8, J) // J) * J), cap_full)
+        tiers = [c for c in (cap_small, cap_mid, cap_full)
+                 if c == cap_small or c > cap_small]
+        tiers = sorted(set(tiers))
+
+        def dispatch(i, of):
+            cap = tiers[i]
+            if i == len(tiers) - 1:
+                return gather_fix(cap)(of)
+            return jax.lax.cond(n_sliver > cap,
+                                lambda o: dispatch(i + 1, o),
+                                gather_fix(cap), of)
+
+        return jax.lax.cond(n_sliver > 0,
+                            lambda of: dispatch(0, of),
+                            lambda of: of, out_flat)
 
     # The entire compaction/sweep/scatter machinery runs only when some
     # RoI actually needs a bigger window (real detection batches: a few
