@@ -59,25 +59,11 @@ def main():
     # cls_score bias (background +4.5, small fg noise) so the per-class
     # above-threshold counts resemble a trained detector's (~tens of
     # boxes/class, not ~1000); NMS/sort/overflow work then matches the
-    # production distribution. Delta vs uncalibrated is reported in
-    # PERF.md.
-    b = np.asarray(params["box_outs"]["cls_score"]["b"]).copy()
-    b[0] += 4.5
-    b[1:] += rng.randn(b.size - 1).astype(np.float32) * 0.5
-    params["box_outs"]["cls_score"]["b"] = jnp.asarray(b)
-    # Same realism fix for the RPN box deltas: random-init rpn_bbox_pred
-    # emits deltas with std ~50-90 (measured), so every proposal rails at
-    # the +-4 bbox-transform clip and decodes to degenerate ~1300x0.25-px
-    # slivers — shapes a trained RPN essentially never proposes, which
-    # route the RoIAlign ladder through its pathological-batch escape
-    # hatches every step. Scale the regression head so deltas have a
-    # trained-like magnitude (std ~0.3); proposals then follow the
-    # clipped-anchor shape distribution (sliver count 0, fixup-rung
-    # traffic ~12% — the production work mix). Delta vs uncalibrated is
-    # reported in PERF.md.
-    for k in ("w", "b"):
-        params["rpn"]["rpn_bbox_pred"][k] = (
-            params["rpn"]["rpn_bbox_pred"][k] * 0.005)
+    # production distribution. BENCH_CALIB=0 disables for A/B; the
+    # calibrated-vs-uncalibrated delta is in PERF.md's round-4 table.
+    if os.environ.get("BENCH_CALIB", "1") != "0":
+        from detectron_tpu.utils.synthetic import calibrate_detector_params
+        params = calibrate_detector_params(params, rng)
     # Feed bf16 images: the graph's first conv casts to the bf16 compute
     # dtype anyway, and the f32 parameter forced a 429 MB convert+relayout
     # inside the graph (xprof: copy.402 + convert, ~3 ms/step).
@@ -94,24 +80,41 @@ def main():
     # layouts and device_put the inputs in exactly those — a serving loop
     # holds inputs resident anyway, and the default row-major image layout
     # forced a transposing copy inside the graph (xprof: copy.602,
-    # bf16[B,832,1344,3] relayout, 2.35 ms/step at batch 32).
-    from jax.experimental.layout import Format, Layout
-
+    # bf16[B,832,1344,3] relayout, 2.35 ms/step at batch 32). The tunnel's
+    # device_put does NOT reliably honor a requested layout (round-3
+    # driver runs crashed at dispatch with a layout-disagreement
+    # ValueError), so the trial dispatch is INSIDE the try: any failure —
+    # compile, device_put, or dispatch — falls back to default layouts.
+    # BENCH_AUTO_LAYOUT=0 disables the attempt entirely (A/B hook).
     images2 = images + 1.0
-    try:
-        # AUTO on the images only: params stay default (the tunnel's
-        # device_put does not reproduce some exotic weight tilings).
-        fn = jax.jit(
-            test_engine.detect_graph,
-            in_shardings=(None, Format(Layout.AUTO), None)).lower(
-            params, jax.ShapeDtypeStruct(images.shape, images.dtype),
-            im_info).compile()
-        img_fmt = fn.input_formats[0][1]
-        images = jax.device_put(images, img_fmt)
-        images2 = jax.device_put(images2, img_fmt)
-    except Exception as e:  # pragma: no cover - backend-dependent
-        print("# AUTO layout unavailable ({}); default layouts".format(
-            type(e).__name__))
+    fn = None
+    if os.environ.get("BENCH_AUTO_LAYOUT", "1") != "0":
+        try:  # pragma: no cover - backend-dependent
+            from jax.experimental.layout import Format, Layout
+
+            # AUTO on the images only: params stay default (the tunnel's
+            # device_put does not reproduce some exotic weight tilings).
+            auto_fn = jax.jit(
+                test_engine.detect_graph,
+                in_shardings=(None, Format(Layout.AUTO), None)).lower(
+                params, jax.ShapeDtypeStruct(images.shape, images.dtype),
+                im_info).compile()
+            img_fmt = auto_fn.input_formats[0][1]
+            images_a = jax.device_put(images, img_fmt)
+            images2_a = jax.device_put(images2, img_fmt)
+            # Trial dispatch + readback: proves the placed arrays really
+            # carry the compiled-for layout before we commit to this path.
+            out = auto_fn(params, images_a, im_info)
+            np.asarray(out["scores"])
+            out = auto_fn(params, images2_a, im_info)
+            np.asarray(out["scores"])
+            fn, images, images2 = auto_fn, images_a, images2_a
+        except Exception as e:
+            import sys
+            print("# AUTO layout path failed ({}: {}); default layouts"
+                  .format(type(e).__name__, str(e)[:120]),
+                  file=sys.stderr)
+    if fn is None:
         fn = jax.jit(test_engine.detect_graph)
 
     # Warmup / compile. NOTE: a small host readback is the synchronization
@@ -125,8 +128,9 @@ def main():
     # ~±10 ms; take the best of three measurement windows (the steady-state
     # rate, not the noise).
     n_iters = 12
-    best_dt = float("inf")
-    for _ in range(3):
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "3"))
+    window_rates = []
+    for _ in range(n_windows):
         outs = [fn(params, images, im_info), fn(params, images2, im_info)]
         np.asarray(outs[0]["scores"])
         t0 = time.perf_counter()
@@ -136,10 +140,18 @@ def main():
                              im_info)
         np.asarray(outs[0]["scores"])
         np.asarray(outs[1]["scores"])
-        best_dt = min(best_dt,
-                      (time.perf_counter() - t0) / (n_iters + 1))
+        dt = (time.perf_counter() - t0) / (n_iters + 1)
+        window_rates.append(B / dt)
 
-    imgs_per_sec = B / best_dt
+    # Per-window rates to stderr (stdout carries only the JSON line the
+    # driver consumes): quantifies run-to-run tunnel noise — VERDICT r3
+    # weak #8 asked for recorded spread so regressions are separable from
+    # variance.
+    import sys
+    print("# windows img/s: " + " ".join("%.2f" % r for r in window_rates),
+          file=sys.stderr)
+
+    imgs_per_sec = max(window_rates)
     target = 150.0
     print(json.dumps({
         "metric": "mask_rcnn_r50_fpn_inference_images_per_sec_per_chip",
@@ -158,41 +170,13 @@ def train_bench():
     from detectron_tpu.parallel import optimizer as opt
     from detectron_tpu.parallel import train_step as ts
 
+    from detectron_tpu.utils.synthetic import synthetic_train_batch
+
     B = int(os.environ.get("BENCH_TRAIN_BS", "8"))
     H, W = 832, 1344
     params = mb.init_model(jax.random.PRNGKey(0))
     opt_state = opt.init_opt_state(params)
-    rng = np.random.RandomState(0)
-    G = cfg.TPU.MAX_GT_BOXES
-    gt_boxes = np.zeros((B, G, 4), np.float32)
-    gt_valid = np.zeros((B, G), bool)
-    gt_classes = np.zeros((B, G), np.int32)
-    for i in range(B):
-        n = 4 + (i % 5)
-        x1 = rng.uniform(0, W - 200, n)
-        y1 = rng.uniform(0, H - 200, n)
-        gt_boxes[i, :n] = np.stack(
-            [x1, y1, x1 + rng.uniform(40, 190, n),
-             y1 + rng.uniform(40, 190, n)], axis=1)
-        gt_valid[i, :n] = True
-        gt_classes[i, :n] = rng.randint(1, cfg.MODEL.NUM_CLASSES, n)
-    images_np = rng.randn(B, H, W, 3).astype(np.float32) * 20.0
-    if cfg.TPU.S2D_INPUT:
-        from detectron_tpu.utils import blob as blob_utils
-        images_np = blob_utils.space_to_depth(images_np)
-    Mg = cfg.TPU.GT_MASK_SIZE
-    masks = (rng.rand(B, G, Mg, Mg) > 0.5).astype(np.float32)
-    batch = {
-        "images": jnp.asarray(images_np),
-        "im_info": jnp.asarray([[800.0, 1333.0, 1.6]] * B, jnp.float32),
-        "gt_boxes": jnp.asarray(gt_boxes),
-        "gt_classes": jnp.asarray(gt_classes),
-        "gt_valid": jnp.asarray(gt_valid),
-        "crowd_boxes": jnp.zeros((B, 2, 4), jnp.float32),
-        "crowd_valid": jnp.zeros((B, 2), bool),
-    }
-    if cfg.MODEL.MASK_ON:
-        batch["gt_masks"] = jnp.asarray(masks)
+    batch = synthetic_train_batch(B, H, W, np.random.RandomState(0))
 
     step = jax.jit(ts.train_step, donate_argnums=(0, 1))
     params, opt_state, stats = step(params, opt_state, batch,

@@ -533,65 +533,63 @@ def multilevel_roi_align_pallas_ladder(
             rid = jnp.where(fits, jnp.int32(r), rid)
             covered = covered | fits
 
-        def sweeps(caps):
+        def rung_sweep(r, wy_r, wx_r, cap):
             def run(out_f):
-                for r, (wy_r, wx_r) in enumerate(fix_rungs):
-                    cap = caps[r]
-                    sel = need & (rid == r)
-                    idx = jnp.nonzero(sel, size=cap,
-                                      fill_value=n)[0].astype(jnp.int32)
-                    count = jnp.sum(sel.astype(jnp.int32))
-                    safe = jnp.minimum(idx, n - 1)
-                    fsy, fsx, fvy, fvx, _ = params_flat(
-                        rois_flat[safe], wy_r, wx_r)
-                    fstarts = jnp.stack([img_idx[safe], fsy, fsx], axis=-1)
-                    seg = jnp.stack([
-                        jnp.int32(0),
-                        jnp.minimum((count + J - 1) // J, cap // J)])
-                    fout = rk.roi_window_pool_seg(
-                        canvas, seg, fstarts, fvy, fvx, wy_r, wx_r, pooled,
-                        rois_per_step=J, interpret=interpret,
-                        out_qp=out_qp)[:cap]
-                    # Pad slots carry idx == n -> dropped by the scatter.
-                    out_f = out_f.at[idx].set(fout.astype(out_f.dtype),
-                                              mode="drop")
-                return out_f
+                sel = need & (rid == r)
+                idx = jnp.nonzero(sel, size=cap,
+                                  fill_value=n)[0].astype(jnp.int32)
+                count = jnp.sum(sel.astype(jnp.int32))
+                safe = jnp.minimum(idx, n - 1)
+                fsy, fsx, fvy, fvx, _ = params_flat(
+                    rois_flat[safe], wy_r, wx_r)
+                fstarts = jnp.stack([img_idx[safe], fsy, fsx], axis=-1)
+                seg = jnp.stack([
+                    jnp.int32(0),
+                    jnp.minimum((count + J - 1) // J, cap // J)])
+                fout = rk.roi_window_pool_seg(
+                    canvas, seg, fstarts, fvy, fvx, wy_r, wx_r, pooled,
+                    rois_per_step=J, interpret=interpret,
+                    out_qp=out_qp)[:cap]
+                # Pad slots carry idx == n -> dropped by the scatter.
+                return out_f.at[idx].set(fout.astype(out_f.dtype),
+                                         mode="drop")
             return run
 
-        caps_full = (cap_full,) * len(fix_rungs)
-        if all(c >= cap_full for c in caps_small):
-            out_flat = sweeps(caps_full)(out_flat)
-        else:
-            counts = jnp.stack([
-                jnp.sum((need & (rid == r)).astype(jnp.int32))
-                for r in range(len(fix_rungs))])
-            # Capacity overflow (more RoIs routed to a rung than its
-            # compaction cap — > n/fix_frac elongated RoIs of one shape
-            # class, or > n/top_frac top-level RoIs under narrow_base):
-            # escalate through CAPACITY TIERS (n/fix_frac -> n/8 -> full)
-            # rather than jumping straight to full — exact for ANY count,
-            # and the sweep cost stays proportional to the actual overflow
-            # (a border-clip-heavy batch pays the n/8 tier, not a 48x
-            # full-capacity re-run; measured 144.7 -> 37.9 img/s when the
-            # old two-tier cond jumped to full under such a batch). Same
-            # escape-hatch pattern as the NMS pre-top-K overflow cond in
-            # core/test.py.
-            caps_mid = tuple(
-                min(max(c, -(-max(n // 8, J) // J) * J), cap_full)
-                for c in caps_small)
-            caps_arr = jnp.asarray(caps_small, jnp.int32)
-            over_small = jnp.any(counts > caps_arr)
-            if all(m >= cap_full for m in caps_mid) or caps_mid == caps_small:
-                out_flat = jax.lax.cond(over_small, sweeps(caps_full),
-                                        sweeps(caps_small), out_flat)
-            else:
-                mid_arr = jnp.asarray(caps_mid, jnp.int32)
-                over_mid = jnp.any(counts > mid_arr)
-                out_flat = jax.lax.cond(
-                    over_small,
-                    lambda of: jax.lax.cond(over_mid, sweeps(caps_full),
-                                            sweeps(caps_mid), of),
-                    sweeps(caps_small), out_flat)
+        # PER-RUNG capacity-tier dispatch (n/fix_frac -> n/8 -> n/4 ->
+        # full): each rung independently picks the smallest tier that
+        # holds ITS count, and rungs with no routed RoIs are skipped
+        # outright. Round 3's GLOBAL escalation (any rung over -> ALL
+        # rungs re-run at the escalated tier, and only tiers small/n/8/
+        # full existed) was the 144.6 -> 127.1 img/s regression: the
+        # calibrated workload routes ~13% of proposals (wide clipped-
+        # anchor shapes) to the (32,96) rung — just over the n/8 tier at
+        # batch 48 — so EVERY step re-ran BOTH rungs at full capacity,
+        # ~12,000 mostly-idle grid steps at ~2.2us each. Per-rung
+        # dispatch bounds idle bookkeeping at <= 2x the actual count and
+        # keeps the untouched (64,48) rung free. Exact for ANY count:
+        # the final tier is always full capacity. Same escape-hatch
+        # pattern as the NMS pre-top-K overflow cond in core/test.py.
+        counts = [jnp.sum((need & (rid == r)).astype(jnp.int32))
+                  for r in range(len(fix_rungs))]
+        for r, (wy_r, wx_r) in enumerate(fix_rungs):
+            tiers = sorted({
+                min(max(caps_small[r],
+                        -(-max(n // frac, J) // J) * J), cap_full)
+                for frac in (8, 4)} | {caps_small[r], cap_full})
+
+            def dispatch(i, of, r=r, wy_r=wy_r, wx_r=wx_r, tiers=tiers):
+                cap = tiers[i]
+                if i == len(tiers) - 1:
+                    return rung_sweep(r, wy_r, wx_r, cap)(of)
+                return jax.lax.cond(
+                    counts[r] > cap,
+                    lambda o: dispatch(i + 1, o),
+                    rung_sweep(r, wy_r, wx_r, cap), of)
+
+            out_flat = jax.lax.cond(
+                counts[r] > 0,
+                functools.partial(dispatch, 0),
+                lambda of: of, out_flat)
 
         # Beyond-ladder slivers (no rung — even VMEM-shrunk — covers the
         # RoI, aspect ~>= 10 at band-top sizes): EXACT gather fixup, the

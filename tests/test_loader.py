@@ -143,3 +143,108 @@ def test_train_loader_resume_fast_forward(tiny_roidb):
             np.testing.assert_array_equal(a["images"], b["images"])
             np.testing.assert_array_equal(a["gt_boxes"], b["gt_boxes"])
             np.testing.assert_array_equal(a["im_info"], b["im_info"])
+
+
+def test_multiscale_loader_uniform_and_per_scale_canvases(tiny_roidb):
+    """Multi-scale training (reference lib/roi_data/minibatch.py ::
+    _get_image_blob draws a uniform-random TRAIN.SCALES entry per batch):
+    with len(SCALES) > 1 the loader must emit one static canvas PER scale
+    (orientation-bucketed) and draw scales ~uniformly."""
+    from collections import Counter
+
+    from detectron_tpu.data import loader
+
+    config.merge_cfg_from_list([
+        "TRAIN.SCALES", "(64, 96)", "TRAIN.MAX_SIZE", "160",
+        "MODEL.MASK_ON", "False",
+        "TRAIN.ASPECT_GROUPING", "True",
+        "TPU.MAX_GT_BOXES", "5",
+    ])
+    tl = loader.TrainLoader(tiny_roidb, batch_size=2, seed=0, prefetch=2,
+                            num_threads=1)
+    shapes = Counter()
+    try:
+        for _ in range(40):
+            batch = next(tl)
+            shapes[batch["images"].shape[1:3]] += 1
+    finally:
+        tl.close()
+    # Two scales x (landscape, portrait) = up to 4 static canvases; exactly
+    # 2 distinct SHORT sides must appear, each close to half the draws.
+    short_sides = Counter()
+    for (h, w), c in shapes.items():
+        short_sides[min(h, w)] += c
+    assert set(short_sides) == {64, 96}, shapes
+    assert min(short_sides.values()) >= 40 * 0.25, short_sides
+
+
+def test_multiscale_train_steps_interleave(tiny_roidb):
+    """End-to-end multi-scale TRAINING (VERDICT r3 ask #4): jit train_step
+    over a 2-scale loader stream — one executable compiles per canvas
+    shape, steps at different scales interleave in one optimizer stream,
+    and every loss is finite. (Per-scale recompile cost on TPU is logged
+    in PERF.md round-4.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from detectron_tpu.data import loader
+    from detectron_tpu.models import model_builder as mb
+    from detectron_tpu.parallel import optimizer as opt
+    from detectron_tpu.parallel import train_step as ts
+
+    config.merge_cfg_from_list([
+        "MODEL.CONV_BODY", "FPN.fpn_ResNet50_conv5_body",
+        "MODEL.FASTER_RCNN", "True",
+        "MODEL.MASK_ON", "False",
+        "MODEL.NUM_CLASSES", "4",
+        "FPN.FPN_ON", "True",
+        "FPN.MULTILEVEL_ROIS", "True",
+        "FPN.MULTILEVEL_RPN", "True",
+        "FPN.USE_GN", "True",
+        "RESNETS.USE_GN", "True", "RESNETS.FREEZE_AT", "0",
+        "FAST_RCNN.ROI_BOX_HEAD", "fast_rcnn_heads.roi_2mlp_head",
+        "FAST_RCNN.ROI_XFORM_METHOD", "RoIAlign",
+        "FAST_RCNN.ROI_XFORM_RESOLUTION", "7",
+        "FAST_RCNN.ROI_XFORM_SAMPLING_RATIO", "2",
+        "FAST_RCNN.MLP_HEAD_DIM", "32",
+        "SOLVER.CLIP_GRADIENTS", "10.0",
+        "TRAIN.SCALES", "(64, 96)", "TRAIN.MAX_SIZE", "128",
+        "TRAIN.IMS_PER_BATCH", "2",
+        "TRAIN.BATCH_SIZE_PER_IM", "32",
+        "TRAIN.RPN_PRE_NMS_TOP_N", "64",
+        "TRAIN.RPN_POST_NMS_TOP_N", "16",
+        "TRAIN.RPN_BATCH_SIZE_PER_IM", "32",
+        "SOLVER.BASE_LR", "0.001",
+        "SOLVER.WARM_UP_ITERS", "2",
+        "SOLVER.LR_POLICY", "steps_with_decay",
+        "SOLVER.STEPS", "[0]",
+        "SOLVER.MAX_ITER", "200",
+        "TPU.NMS_TILE_SIZE", "32",
+        "TPU.MAX_GT_BOXES", "5",
+        "TPU.ROI_IMPL", "windowed", "TPU.ROI_WINDOW", "16",
+        "TPU.ROI_CHUNK", "32",
+    ])
+    config.assert_and_infer_cfg(make_immutable=False)
+
+    params = mb.init_model(jax.random.PRNGKey(0))
+    opt_state = opt.init_opt_state(params)
+    step = jax.jit(ts.train_step)
+    tl = loader.TrainLoader(tiny_roidb, batch_size=2, seed=3, prefetch=2,
+                            num_threads=1)
+    seen_shapes = set()
+    try:
+        i = 0
+        while len(seen_shapes) < 2 or i < 6:
+            assert i < 40, "loader never produced both scales"
+            batch = {k: jnp.asarray(v) for k, v in next(tl).items()}
+            seen_shapes.add(tuple(batch["images"].shape[1:3]))
+            params, opt_state, stats = step(
+                params, opt_state, batch,
+                jax.random.fold_in(jax.random.PRNGKey(5), i))
+            assert np.isfinite(float(np.asarray(stats["loss"]))), i
+            i += 1
+    finally:
+        tl.close()
+    assert len({min(s) for s in seen_shapes}) == 2, seen_shapes
+    # One optimizer stream across scales: step count advanced every step.
+    assert int(np.asarray(opt_state["step"])) == i

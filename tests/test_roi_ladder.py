@@ -220,6 +220,93 @@ def test_ladder_narrow_top_rung_overflow():
     np.testing.assert_allclose(out, _ref(pyr, rois), rtol=1e-4, atol=2e-4)
 
 
+def test_ladder_mid_tier_escalation_exact():
+    """n/8 MID capacity tier (advisor r3 medium): with n=80 RoIs (J=8,
+    fix_frac=64) the tiers are small=8 < mid=16 < full=80, and 9-16 RoIs
+    routed to a rung land strictly between the small and mid caps — the
+    over_small cond must take the MID sweeps (not full) and stay exact.
+    12 wide-elongated RoIs hit the (32,96) rung's mid tier, 12
+    tall-elongated hit (64,48)'s, and all 80 RoIs must match the exact
+    gather reference."""
+    rng = np.random.RandomState(21)
+    B = 1
+    pyr = _pyramid(rng, B)
+    wide = [_build(360.0, 8.0, 10.0 + 7.0 * i, 12.0 + 11.0 * i)
+            for i in range(12)]
+    tall = [_build(400.0, 0.1, 30.0 + 9.0 * i, 5.0 + 3.0 * i)
+            for i in range(12)]
+    normal = [_build(80.0 + 4.0 * i, 1.0, 5.0 + 3.0 * i, 8.0 + 2.0 * i)
+              for i in range(56)]
+    rois = jnp.asarray(np.array([wide + tall + normal], np.float32))
+    assert rois.shape == (1, 80, 4)
+    out = np.asarray(_ladder(pyr, rois))
+    np.testing.assert_allclose(out, _ref(pyr, rois), rtol=1e-4, atol=2e-4)
+
+
+def test_ladder_sliver_mid_tier_exact():
+    """Sliver-gather MID capacity tier: 12 beyond-ladder vertical slivers
+    (aspect ~1/90 at level 2 — taller than every rung) with n=80 puts
+    n_sliver strictly between cap_small=8 and cap_mid=16, driving the
+    gather-fixup tier dispatch through gather_fix(cap_mid). Whole batch
+    exact."""
+    rng = np.random.RandomState(22)
+    B = 1
+    pyr = _pyramid(rng, B)
+    slivers = [[10.0 + 9.0 * i, 5.0, 18.0 + 9.0 * i, 700.0]
+               for i in range(12)]
+    normal = [_build(70.0 + 3.0 * i, 1.0, 4.0 + 2.0 * i, 6.0 + 2.0 * i)
+              for i in range(68)]
+    rois = jnp.asarray(np.array([slivers + normal], np.float32))
+    assert rois.shape == (1, 80, 4)
+    out = np.asarray(_ladder(pyr, rois))
+    np.testing.assert_allclose(out, _ref(pyr, rois), rtol=1e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("pooled,dtype", [(7, "float32"),
+                                          (14, "float32"),
+                                          (7, "bfloat16")])
+def test_ladder_randomized_property_sweep(pooled, dtype):
+    """Randomized settle of PARITY.md's 'exact for EVERY RoI' claim
+    (VERDICT r3 ask #6): RoIs drawn across aspect 1-30 (both
+    orientations) x sizes spanning every level band x pooled {7,14} x
+    {f32, bf16}, asserting the production ladder equals the exact gather
+    oracle on the same inputs. Covers base-covered, rung-covered,
+    beyond-ladder-sliver, and whole-top-level regimes in one batch."""
+    rng = np.random.RandomState(31 + pooled)
+    B, R = 2, 24
+    jdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    pyr = [f.astype(jdt) for f in _pyramid(rng, B)]
+    H_im, W_im = 832.0, 1344.0
+    rois_np = np.zeros((B, R, 4), np.float32)
+    for b in range(B):
+        for r in range(R):
+            s = float(np.exp(rng.uniform(np.log(40.0), np.log(1100.0))))
+            a = float(np.exp(rng.uniform(0.0, np.log(30.0))))
+            if rng.rand() < 0.5:
+                a = 1.0 / a
+            w = min(s * np.sqrt(a), W_im - 2.0)
+            h = min(s / np.sqrt(a), H_im - 2.0)
+            x = rng.uniform(0.0, W_im - 1.0 - w)
+            y = rng.uniform(0.0, H_im - 1.0 - h)
+            rois_np[b, r] = [x, y, x + w, y + h]
+    rois = jnp.asarray(rois_np)
+
+    out = win.multilevel_roi_align_pallas_ladder(
+        pyr, SCALES, rois, pooled, 2, 2, 5, canonical_scale=224,
+        canonical_level=4, interpret=True)
+    ref = np.stack([np.asarray(ml.multilevel_roi_align(
+        [f[b].astype(jnp.float32) for f in pyr], SCALES, rois[b], pooled,
+        2, 2, 5, canonical_scale=224, canonical_level=4, chunk=8))
+        for b in range(B)])
+    out = np.asarray(out).astype(np.float32)
+    if dtype == "bfloat16":
+        # bf16 canvas: the oracle pools the SAME bf16 features in f32, so
+        # the residual is bilinear-weight rounding only (~2^-8 relative).
+        np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+    else:
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=2e-4)
+
+
 def test_ladder_sliver_fixup_out_qp_and_overflow():
     """The sliver gather fixup under out_qp=True (box-head production
     layout) and with more slivers than the small compaction capacity

@@ -24,6 +24,10 @@ def parse_args():
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--out", default="/tmp/detectron_tpu_profile")
     p.add_argument("--set", dest="set_cfgs", nargs="+", default=[])
+    p.add_argument("--calibrate", action="store_true",
+                   help="apply bench.py's trained-detector weight "
+                        "calibration so the profile sees the production "
+                        "work mix (utils/synthetic.py)")
     return p.parse_args()
 
 
@@ -47,7 +51,16 @@ def main():
     H, W = 832, 1344
     rng = np.random.RandomState(0)
     params = mb.init_model(jax.random.PRNGKey(0))
-    images = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32) * 20)
+    if args.calibrate:
+        from detectron_tpu.utils.synthetic import calibrate_detector_params
+        params = calibrate_detector_params(params, rng)
+    dt = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    images_np = rng.randn(B, H, W, 3).astype(np.float32) * 20
+    if cfg.TPU.S2D_INPUT:
+        from detectron_tpu.utils import blob as blob_utils
+        images_np = blob_utils.space_to_depth(images_np)
+    images = jnp.asarray(images_np, dtype=dt if args.mode == "infer"
+                         else jnp.float32)
     im_info = jnp.asarray([[800.0, 1333.0, 1.6]] * B, jnp.float32)
 
     if args.mode == "infer":
@@ -61,21 +74,11 @@ def main():
     else:
         from detectron_tpu.parallel import optimizer as opt
         from detectron_tpu.parallel import train_step as ts
+        from detectron_tpu.utils.synthetic import synthetic_train_batch
 
-        G = cfg.TPU.MAX_GT_BOXES
-        batch = {
-            "images": images,
-            "im_info": im_info,
-            "gt_boxes": jnp.zeros((B, G, 4), jnp.float32),
-            "gt_classes": jnp.zeros((B, G), jnp.int32),
-            "gt_valid": jnp.zeros((B, G), bool).at[:, 0].set(True),
-            "crowd_boxes": jnp.zeros((B, 2, 4), jnp.float32),
-            "crowd_valid": jnp.zeros((B, 2), bool),
-        }
-        if cfg.MODEL.MASK_ON:
-            batch["gt_masks"] = jnp.zeros(
-                (B, G, cfg.TPU.GT_MASK_SIZE, cfg.TPU.GT_MASK_SIZE),
-                jnp.float32)
+        # Realistic COCO-like gt boxes (the old all-zero-gt batch skipped
+        # most of the target-assignment and head-loss work).
+        batch = synthetic_train_batch(B, H, W, rng)
         opt_state = opt.init_opt_state(params)
         step = jax.jit(ts.train_step)
         params, opt_state, stats = step(params, opt_state, batch,
