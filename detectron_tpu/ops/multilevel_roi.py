@@ -127,8 +127,67 @@ def multilevel_roi_align_flat(pyramid, scales, rois, img_idx, pooled,
                         sampling_ratio, chunk, dtype)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("level_dims", "row_off", "col_off", "pooled",
+                     "sampling_ratio", "k_min", "k_max", "chunk",
+                     "canonical_scale", "canonical_level"),
+)
+def multilevel_roi_align_canvas_flat(
+        canvas, level_dims, row_off, col_off, scales, rois, img_idx,
+        pooled, sampling_ratio, k_min, k_max, canonical_scale=224,
+        canonical_level=4, chunk=128):
+    """Exact gather RoIAlign reading levels IN PLACE from a packed canvas.
+
+    Identical numerics to multilevel_roi_align_flat, but instead of
+    re-concatenating the pyramid into a fresh flat tensor (a full
+    pyramid-sized HBM copy — 8.3 ms/step at Mask R-CNN batch-48 shapes,
+    measured round 4), samples gather directly from the (B, Hc, Wc, C)
+    canvas the ladder already built: level l of image b lives at rows
+    [row_off[l], row_off[l]+H_l) and cols [col_off[l], col_off[l]+W_l) of
+    canvas[b]. Sample clamping stays inside the level's own dims, so the
+    canvas' zero padding is never read and bit-exactness vs the flat
+    gather holds (tests/test_roi_ladder.py).
+
+    canvas: (B, Hc, Wc, C); level_dims: static ((H_l, W_l), ...);
+    row_off/col_off: static per-level canvas offsets (col_off may be all
+    zeros for the row-stacked 1-D canvas); rois: (R, 4) image coords with
+    img_idx (R,) int32. Returns (R, pooled, pooled, C)."""
+    assert sampling_ratio > 0, "gather path requires a static sampling ratio"
+    L = len(level_dims)
+    assert L == k_max - k_min + 1
+    B, Hc, Wc, C = canvas.shape
+    dtype = canvas.dtype
+    flat = canvas.reshape(-1, C)
+
+    heights = jnp.asarray([d[0] for d in level_dims], jnp.float32)
+    widths = jnp.asarray([d[1] for d in level_dims], jnp.float32)
+    row_off = jnp.asarray(row_off, jnp.float32)
+    col_off = jnp.asarray(col_off, jnp.float32)
+
+    rois = rois.astype(jnp.float32)
+    w = rois[:, 2] - rois[:, 0] + 1.0
+    h = rois[:, 3] - rois[:, 1] + 1.0
+    s = jnp.sqrt(jnp.maximum(w * h, 1e-12))
+    lvl = jnp.clip(
+        jnp.floor(canonical_level + jnp.log2(s / canonical_scale + 1e-6)),
+        k_min, k_max).astype(jnp.int32) - k_min
+
+    lvl_scale = jnp.asarray(scales, jnp.float32)[lvl]
+    Hl = heights[lvl]
+    Wl = widths[lvl]
+    off = ((img_idx.astype(jnp.float32) * Hc + row_off[lvl]) * Wc
+           + col_off[lvl])
+    return _gather_pool(flat, rois, off, Hl, Wl, lvl_scale, pooled,
+                        sampling_ratio, chunk, dtype, row_stride=float(Wc))
+
+
 def _gather_pool(flat, rois, off, Hl, Wl, lvl_scale, pooled, sampling_ratio,
-                 chunk, dtype):
+                 chunk, dtype, row_stride=None):
+    """row_stride: flat elements per feature row (default: the level's own
+    width Wl — a contiguously flattened level). Canvas-backed callers pass
+    the canvas width so samples index into a level living at an offset
+    inside a wider packed canvas (multilevel_roi_align_canvas_flat)."""
     C = flat.shape[-1]
     x1 = rois[:, 0] * lvl_scale
     y1 = rois[:, 1] * lvl_scale
@@ -152,10 +211,12 @@ def _gather_pool(flat, rois, off, Hl, Wl, lvl_scale, pooled, sampling_ratio,
     x1i = jnp.minimum(x0 + 1.0, Wl[:, None] - 1.0)
 
     base = off[:, None]
+    stride = Wl if row_stride is None else \
+        jnp.broadcast_to(jnp.asarray(row_stride, jnp.float32), Wl.shape)
     # Flat indices for the 4 neighbors of each (y, x) sample pair.
     def flat_idx(yy, xx):
         # (R, S) x (R, S) -> (R, S, S)
-        return (base[..., None] + yy[:, :, None] * Wl[:, None, None]
+        return (base[..., None] + yy[:, :, None] * stride[:, None, None]
                 + xx[:, None, :]).astype(jnp.int32)
 
     i00 = flat_idx(y0, x0)

@@ -37,6 +37,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _VMEM_BUDGET = int(15.7 * 1024 * 1024)  # headroom under the 16 MB scope
+# FIXUP sweeps (roi_window_pool_seg) may exceed the default 16 MB scope:
+# they run a few dozen grid steps on a few percent of RoIs, so trading
+# some of the core's remaining VMEM (v5e: 128 MB total) for full window
+# width is strictly better than shrinking the window and routing the
+# traffic to the far costlier gather fallback (the mask head's (32,96)
+# rung shrank to (32,80) under the 16 MB scope, sending every wide
+# detection through an 8.3 ms/step flat-pyramid gather — round-4 xprof).
+# The elevated scope is requested per-kernel via
+# CompilerParams(vmem_limit_bytes=...), touching nothing else in the
+# program (the round-2 GLOBAL 32 MB experiment regressed the BASE sweep;
+# this applies only to the small seg sweeps).
+_VMEM_BUDGET_SEG = int(28 * 1024 * 1024)
 
 
 def _vmem_estimate(slots, cc, sub, J, P, WY, WX, C, item):
@@ -61,7 +73,7 @@ def _vmem_estimate(slots, cc, sub, J, P, WY, WX, C, item):
     return scratch + out_blk + inter
 
 
-def _pick_layout(J, P, WY, WX, C, item):
+def _pick_layout(J, P, WY, WX, C, item, budget=_VMEM_BUDGET):
     """(n_slots, c_chunk, subgroups) fitting the VMEM budget; prefer DMA
     overlap (2 slots), then wide matmuls (full C, one subgroup). Chunks
     are lane multiples (128) so in-kernel reshapes stay legal."""
@@ -75,25 +87,28 @@ def _pick_layout(J, P, WY, WX, C, item):
         for sub in subs:
             for cc in chunks:
                 if _vmem_estimate(slots, cc, sub, J, P, WY, WX, C, item) \
-                        <= _VMEM_BUDGET:
+                        <= budget:
                     return slots, cc, sub
     return 1, chunks[-1], subs[-1]
 
 
-def fit_window_x(J, P, WY, WX, C, item):
+def fit_window_x(J, P, WY, WX, C, item, budget=_VMEM_BUDGET):
     """Largest window_x <= WX (multiple of 8) for which some layout fits
-    the scoped-VMEM budget. Rung shapes like (32, 96) at pooled=14/C=256
-    cannot fit at full width (scratch alone ~12.6M leaves no room for the
-    f32 intermediates); the ladder shrinks such rungs and lets the per-RoI
-    coverage flags route now-uncovered RoIs to the fallback rung."""
+    the given scoped-VMEM budget. Base sweeps fit the default 16 MB scope;
+    FIXUP rungs fit _VMEM_BUDGET_SEG (roi_window_pool_seg raises its own
+    scope), so shapes like (32, 96) at pooled=14/C=256 keep full width."""
     wx = WX
     while wx > 8:
-        sl, cc, sub = _pick_layout(J, P, WY, wx, C, item)
-        if _vmem_estimate(sl, cc, sub, J, P, WY, wx, C, item) \
-                <= _VMEM_BUDGET:
+        sl, cc, sub = _pick_layout(J, P, WY, wx, C, item, budget)
+        if _vmem_estimate(sl, cc, sub, J, P, WY, wx, C, item) <= budget:
             return wx
         wx -= 8
     return wx
+
+
+def fit_window_x_seg(J, P, WY, WX, C, item):
+    """fit_window_x under the fixup sweeps' elevated VMEM scope."""
+    return fit_window_x(J, P, WY, WX, C, item, budget=_VMEM_BUDGET_SEG)
 
 
 def _kernel(starts_ref, starts_next_ref, vy_ref, vx_ref, canvas_ref,
@@ -305,8 +320,23 @@ def roi_window_pool_seg(canvas, seg, starts, vy, vx, window_y,
     nsteps = N // J
     grid = (nsteps,)
 
+    item = canvas.dtype.itemsize
     n_slots, c_chunk, subgroups = _pick_layout(
-        J, pooled, window_y, window_x, C, canvas.dtype.itemsize)
+        J, pooled, window_y, window_x, C, item)
+    compiler_params = None
+    if _vmem_estimate(n_slots, c_chunk, subgroups, J, pooled, window_y,
+                      window_x, C, item) > _VMEM_BUDGET:
+        # Window too wide for the default 16 MB scope: re-pick under the
+        # elevated fixup budget and raise THIS kernel's scoped-VMEM limit
+        # (see _VMEM_BUDGET_SEG). The estimate is calibrated to ~±10% of
+        # the compiler's measured peak; the 1.25x margin covers it.
+        n_slots, c_chunk, subgroups = _pick_layout(
+            J, pooled, window_y, window_x, C, item,
+            budget=_VMEM_BUDGET_SEG)
+        est = _vmem_estimate(n_slots, c_chunk, subgroups, J, pooled,
+                             window_y, window_x, C, item)
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=int(est * 1.25))
 
     starts_next = jnp.roll(starts, -J, axis=0)
 
@@ -345,12 +375,16 @@ def roi_window_pool_seg(canvas, seg, starts, vy, vx, window_y,
         ],
     )
 
+    kwargs = {}
+    if compiler_params is not None and not interpret:
+        kwargs["compiler_params"] = compiler_params
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (N + J, pooled, pooled, C), canvas.dtype),
         interpret=interpret,
+        **kwargs,
     )(seg, starts, starts_next, vy.reshape(N * pooled, window_y),
       vx.reshape(N * pooled, window_x), canvas)
 

@@ -432,9 +432,18 @@ def multilevel_roi_align_pallas_ladder(
         fix_shapes = [top_rung] + fix_shapes
         fracs = [top_frac] + fracs
 
-    # Fixup rungs, shrunk to the scoped-VMEM budget where needed.
+    # Fixup rungs, fitted under the seg sweeps' ELEVATED VMEM scope
+    # (roi_window_pool_seg raises its own per-kernel vmem_limit_bytes —
+    # see _VMEM_BUDGET_SEG in the kernel module): under the default 16 MB
+    # scope the mask head's (32,96) rung shrank to (32,80), pushing every
+    # wide detection into the sliver gather fixup — 8.3 ms/step of
+    # flat-pyramid rebuild at batch 48, measured round 4. Fixup rungs see
+    # a few percent of RoIs, so a few extra MB of scoped VMEM on their
+    # small sweeps is strictly better than routing the traffic to the
+    # gather fallback. (rois_per_step stays 8 everywhere: the SMEM starts
+    # block needs J % 8 == 0 on TPU.)
     fix_rungs = tuple(
-        (wy, rk.fit_window_x(J, pooled, wy, wx, C, item))
+        (wy, rk.fit_window_x_seg(J, pooled, wy, wx, C, item))
         for wy, wx in fix_shapes)
     wy_max = max([wy_base] + [wy for wy, _ in fix_shapes])
     # Canvas x-pad uses the UNSHRUNK max rung width: padding is free, and
@@ -472,6 +481,11 @@ def multilevel_roi_align_pallas_ladder(
         _, _, row_off, pad_rows = _canvas_meta(
             [f[0] for f in pyramid], wy_base)
         col_off = None
+        # Static offsets mirroring _canvas_meta (the sliver gather fixup
+        # indexes the canvas directly and needs them at trace time).
+        pr = [max(d[0], wy_base) for d in dims]
+        row_off_l = [sum(pr[:i]) for i in range(len(dims))]
+        col_off_l = [0] * len(dims)
     Wc = canvas.shape[2]
 
     def params_flat(r2, wy, wx):
@@ -594,7 +608,11 @@ def multilevel_roi_align_pallas_ladder(
         # Beyond-ladder slivers (no rung — even VMEM-shrunk — covers the
         # RoI, aspect ~>= 10 at band-top sizes): EXACT gather fixup, the
         # same formulation the trainable backward transposes
-        # (ops/multilevel_roi.py). Compacted like the rung sweeps, with
+        # (ops/multilevel_roi.py). Samples gather IN PLACE from the packed
+        # canvas already in HBM — the earlier multilevel_roi_align_flat
+        # call re-concatenated the whole pyramid into a fresh flat tensor
+        # first, 8.3 ms/step of pure HBM copy whenever the cond fired
+        # (round-4 xprof, batch 48). Compacted like the rung sweeps, with
         # the same full-capacity escape hatch; batches without such RoIs
         # (all practical detection workloads) pay one any() reduction.
         from detectron_tpu.ops import multilevel_roi as ml
@@ -606,9 +624,10 @@ def multilevel_roi_align_pallas_ladder(
                 idx = jnp.nonzero(sliver, size=cap,
                                   fill_value=n)[0].astype(jnp.int32)
                 safe = jnp.minimum(idx, n - 1)
-                vals = ml.multilevel_roi_align_flat(
-                    list(pyramid), scales, rois_flat[safe], img_idx[safe],
-                    pooled, sampling_ratio, k_min, k_max,
+                vals = ml.multilevel_roi_align_canvas_flat(
+                    canvas, tuple(dims), tuple(row_off_l),
+                    tuple(col_off_l), scales, rois_flat[safe],
+                    img_idx[safe], pooled, sampling_ratio, k_min, k_max,
                     canonical_scale=canonical_scale,
                     canonical_level=canonical_level, chunk=min(cap, 128))
                 if out_qp:

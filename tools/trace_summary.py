@@ -3,7 +3,17 @@
 
 Parses the Chrome-trace JSON (<out>/plugins/profile/*/…trace.json.gz — the
 axon tunnel records real device traces that parse with ordinary json) and
-prints device-op time grouped by category plus the top individual ops.
+prints device-op SELF time grouped three ways:
+
+  1. by the trace's own `hlo_category` arg (convolution fusion, custom-call,
+     loop fusion, data formatting, ...) — authoritative where present;
+  2. by STAGE: the deepest repo frame of each op's `source_stack`
+     (models/resnet.py, ops/windowed_roi.py, ...) — the per-stage budget
+     PERF.md tracks;
+  3. the top individual ops, annotated with category, TFLOP/s (from
+     `model_flops`) and GB/s (from `raw_bytes_accessed`) so MXU/HBM
+     utilization is read off directly.
+
 This replaces eyeballing 100k-event traces when hunting a regression
 (reference had only wall-clock timers, lib/utils/timer.py).
 
@@ -19,7 +29,7 @@ import json
 import os
 
 
-CATEGORIES = (
+NAME_CATEGORIES = (
     ("convolution", ("convolution", "conv")),
     ("pallas/custom-call", ("custom-call", "roi_window", "nms_kernel",
                             "tpu_custom_call")),
@@ -34,12 +44,29 @@ CATEGORIES = (
 )
 
 
-def categorize(name):
-    low = name.lower()
-    for cat, keys in CATEGORIES:
+def categorize(e):
+    args = e.get("args") or {}
+    cat = args.get("hlo_category")
+    if cat:
+        return cat
+    low = e.get("name", "?").lower()
+    for cat, keys in NAME_CATEGORIES:
         if any(k in low for k in keys):
             return cat
     return "other"
+
+
+def stage_of(e):
+    """Deepest repo frame of the op's source stack, e.g. 'models/fpn.py'."""
+    args = e.get("args") or {}
+    stack = args.get("source_stack") or args.get("source") or ""
+    for line in stack.splitlines():
+        if "/detectron_tpu/" in line:
+            frag = line.split("/detectron_tpu/", 1)[1].split(":", 1)[0]
+            return frag
+    if "/tools/" in stack or "profile_net" in stack:
+        return "(driver)"
+    return "(no source)"
 
 
 def load_events(out_dir):
@@ -89,10 +116,9 @@ def main():
 
     any_device_meta = any(is_device(e) for e in events
                           if e.get("ph") == "X")
-    # SELF time (duration minus nested children): trace spans nest (a cond
-    # span contains the sweeps it dispatches; the jit_* root contains the
-    # whole step), so inclusive sums double-count. Build per-lane interval
-    # stacks by start time.
+    # SELF time (duration minus nested children): trace spans nest (the
+    # jit_* module root span contains the whole step in its lane), so
+    # inclusive sums double-count. Build per-lane interval stacks.
     lanes = collections.defaultdict(list)
     for e in events:
         if e.get("ph") != "X" or "dur" not in e or "ts" not in e:
@@ -103,47 +129,85 @@ def main():
 
     by_op = collections.Counter()
     by_cat = collections.Counter()
+    by_stage = collections.Counter()
+    op_meta = {}  # name -> (category, model_flops, bytes, example args)
     total = 0.0
+
+    def account(e, self_ms):
+        nonlocal total
+        name = e.get("name", "?")
+        # Module root spans (jit_<fn>) cover the whole step in their own
+        # lane; excluding them from totals keeps self-time sums = step time.
+        if name.startswith("jit_") and "(" in name:
+            return
+        by_op[name] += self_ms
+        by_cat[categorize(e)] += self_ms
+        by_stage[stage_of(e)] += self_ms
+        total += self_ms
+        if name not in op_meta:
+            a = e.get("args") or {}
+            op_meta[name] = (
+                categorize(e),
+                float(a.get("model_flops", 0) or 0),
+                float(a.get("raw_bytes_accessed", 0) or 0),
+                stage_of(e))
+
     for lane_events in lanes.values():
         lane_events.sort(key=lambda e: (e["ts"], -e["dur"]))
-        stack = []  # (end_ts, name, child_time_accum index)
+        stack = []  # (end_ts, event, child_time_accum index)
         child_time = []
         for e in lane_events:
             ts, dur = e["ts"], e["dur"]
-            name = e.get("name", "?")
             while stack and ts >= stack[-1][0] - 1e-9:
-                end, pname, idx = stack.pop()
+                end, pe, idx = stack.pop()
                 self_ms = (child_time[idx][0] - child_time[idx][1]) / 1000.0
-                by_op[pname] += self_ms
-                by_cat[categorize(pname)] += self_ms
-                total += self_ms
+                account(pe, self_ms)
             if stack:
                 child_time[stack[-1][2]][1] += dur
-            stack.append((ts + dur, name, len(child_time)))
+            stack.append((ts + dur, e, len(child_time)))
             child_time.append([dur, 0.0])
         while stack:
-            end, pname, idx = stack.pop()
+            end, pe, idx = stack.pop()
             self_ms = (child_time[idx][0] - child_time[idx][1]) / 1000.0
-            by_op[pname] += self_ms
-            by_cat[categorize(pname)] += self_ms
-            total += self_ms
+            account(pe, self_ms)
 
     per = 1.0 / max(args.steps, 1)
     print("trace:", path)
     print("device op time: {:.1f} ms total, {:.1f} ms/step over {} steps"
           .format(total, total * per, args.steps))
-    print("\nby category (ms/step):")
+    print("\nby hlo category (ms/step):")
     for cat, ms in by_cat.most_common():
-        print("  {:<22s} {:>9.2f}  ({:4.1f}%)".format(
+        print("  {:<26s} {:>9.2f}  ({:4.1f}%)".format(
             cat, ms * per, 100.0 * ms / max(total, 1e-9)))
-    print("\ntop {} ops (ms/step):".format(args.top))
+    print("\nby stage (deepest repo frame, ms/step):")
+    for st, ms in by_stage.most_common():
+        print("  {:<42s} {:>9.2f}  ({:4.1f}%)".format(
+            st, ms * per, 100.0 * ms / max(total, 1e-9)))
+
+    def oprow(name, ms):
+        cat, flops, nbytes, stage = op_meta.get(name, ("?", 0, 0, "?"))
+        # flops/bytes are PER INSTANCE; for ops that run once per step the
+        # per-step self time is the instance time and the rates are exact
+        # (ops with several instances per step read low — still a lower
+        # bound, fine for spotting underutilized ops).
+        dt = ms * per / 1000.0
+        perf = ""
+        if flops and dt > 0:
+            perf += " {:6.1f} TF/s".format(flops / dt / 1e12)
+        if nbytes and dt > 0:
+            perf += " {:6.1f} GB/s".format(nbytes / dt / 1e9)
+        return "  {:>8.2f}  {:<28s} {:<24s}{}  {}".format(
+            ms * per, name[:28], stage[:24], perf, cat)
+
+    print("\ntop {} ops (ms/step; TF/s and GB/s are per-op means):"
+          .format(args.top))
     for name, ms in by_op.most_common(args.top):
-        print("  {:>8.2f}  {}".format(ms * per, name[:110]))
+        print(oprow(name, ms))
     if args.like:
         print("\nops matching {!r} (ms/step):".format(args.like))
         for name, ms in sorted(by_op.items(), key=lambda kv: -kv[1]):
             if args.like.lower() in name.lower():
-                print("  {:>8.2f}  {}".format(ms * per, name[:110]))
+                print(oprow(name, ms))
 
 
 if __name__ == "__main__":
