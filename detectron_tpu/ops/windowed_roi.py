@@ -368,7 +368,7 @@ def multilevel_roi_align_pallas_ladder(
         pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
         canonical_scale=224, canonical_level=4,
         rungs=((32, 40), (64, 48), (32, 96)), rois_per_step=8,
-        interpret=False, out_qp=False, fix_frac=64, narrow_base=False,
+        interpret=False, out_qp=False, fix_frac=8, narrow_base=False,
         top_frac=4):
     """Batched Pallas RoIAlign with a per-RoI-shape WINDOW LADDER.
 
@@ -378,21 +378,22 @@ def multilevel_roi_align_pallas_ladder(
     the same cost as the round-2 production path. RoIs the base window
     cannot cover (elongated mid-level RoIs — the reference CUDA kernel
     lib/modeling/roi_xfrom/roi_align is exact for these; the base clamps
-    them) are COMPACTED per fixup rung (jnp.nonzero with a static
-    capacity of ~n/fix_frac), pooled by a bounded-count segmented sweep
-    (roi_window_pool_seg) at that rung's taller/wider window, and
-    scattered back. Net cost of exactness: two small sweeps whose grid is
-    capped at n/fix_frac RoIs and whose DMA is proportional to the ACTUAL
-    elongated count — a few percent in real detection workloads.
+    them) are COMPACTED per fixup rung (jnp.nonzero in chunks of a static
+    ~n/fix_frac capacity inside a count-bounded lax.while_loop), pooled
+    by a bounded-count segmented sweep (roi_window_pool_seg) at that
+    rung's taller/wider window, and scattered back in place (the while
+    carry aliases — no full-output copies, see the fixup section
+    comment). Net cost of exactness: small sweeps whose machinery AND
+    DMA are proportional to the ACTUAL elongated count — a few percent
+    in real detection workloads; zero-count rungs cost one predicate.
 
     EXACT for every RoI: rung-covered RoIs pool in the kernel; the rare
     RoIs beyond every rung's coverage (aspect ~>=10 at band-top sizes,
     including shapes uncovered because the scoped-VMEM fitter shrank a
-    rung at f32/pooled=14) route through a compacted exact-gather fixup
-    (ops/multilevel_roi.py :: multilevel_roi_align_flat) under the same
-    lax.cond + full-capacity escape hatch as the rung sweeps — matching
-    the reference CUDA kernel (lib/modeling/roi_xfrom/roi_align), which
-    is exact for all shapes.
+    rung at f32/pooled=14) route through the same chunked exact-gather
+    fixup (ops/multilevel_roi.py :: multilevel_roi_align_canvas_flat) —
+    matching the reference CUDA kernel (lib/modeling/roi_xfrom/
+    roi_align), which is exact for all shapes at any count.
 
     narrow_base: do NOT widen the base window to whole-top-level x
     coverage — the base stays at rungs[0] (e.g. (32, 40) vs the widened
@@ -511,163 +512,115 @@ def multilevel_roi_align_pallas_ladder(
     if not fix_rungs:
         return out.reshape(B, R, pooled, pooled, C)
 
-    # ---------------- fixup sweeps ----------------
+    # ---------------- fixup sweeps: count-scaled while-loop chunking ----
+    # Round 3 used nested lax.cond capacity TIERS (n/64 -> n/8 -> n/4 ->
+    # full) around each rung sweep plus an outer any(need) cond. Round-4
+    # xprof (batch 48) showed the conds themselves were the overhead: the
+    # (B*R, P, P, C) output is 1.2 GB at production shapes, and threading
+    # it through conditionals cost a full-buffer copy (copy.1412,
+    # 3.9 ms/step) plus a non-aliased whole-buffer scatter rewrite
+    # (fusion.885, 6.6 ms/step) — while the seg sweeps' DMA was already
+    # exactly count-proportional. The tier ladder is replaced by ONE
+    # static chunk capacity (~n/fix_frac) per rung and a lax.while_loop
+    # over ceil(count/cap) chunks: while-loop carries alias in place (no
+    # big-buffer copy, scatters update only touched rows), a zero-count
+    # rung costs one predicate (trip count 0), and ANY count is exact by
+    # looping — no escalation branches, no full-capacity escape hatch.
     cap_full = -(-n // J) * J
-    cap_small = min(-(-max(n // fix_frac, J) // J) * J, cap_full)
-    caps_small = tuple(
-        min(-(-max(n // f, J) // J) * J, cap_full) for f in fracs)
     need = ~ok
 
-    def fix(out_flat):
-        lvl = roi_levels(rois_flat.astype(jnp.float32), k_min, k_max,
-                         canonical_scale, canonical_level)
-        sc = jnp.asarray(scales, jnp.float32)[lvl - k_min]
-        Hl = heights[lvl - k_min]
-        Wl = widths[lvl - k_min]
-        rf = rois_flat.astype(jnp.float32)
-        # Level-CLAMPED extents: samples outside the level are zero-weight,
-        # so the span a window must cover never exceeds the level's dims —
-        # and a window >= the level dimension covers it whole regardless
-        # of the RoI's raw extent (the full-canvas clause).
-        ex = jnp.minimum((rf[:, 2] - rf[:, 0] + 1.0) * sc, Wl)
-        ey = jnp.minimum((rf[:, 3] - rf[:, 1] + 1.0) * sc, Hl)
+    lvl = roi_levels(rois_flat.astype(jnp.float32), k_min, k_max,
+                     canonical_scale, canonical_level)
+    sc = jnp.asarray(scales, jnp.float32)[lvl - k_min]
+    Hl = heights[lvl - k_min]
+    Wl = widths[lvl - k_min]
+    rf = rois_flat.astype(jnp.float32)
+    # Level-CLAMPED extents: samples outside the level are zero-weight,
+    # so the span a window must cover never exceeds the level's dims —
+    # and a window >= the level dimension covers it whole regardless
+    # of the RoI's raw extent (the full-canvas clause).
+    ex = jnp.minimum((rf[:, 2] - rf[:, 0] + 1.0) * sc, Wl)
+    ey = jnp.minimum((rf[:, 3] - rf[:, 1] + 1.0) * sc, Hl)
 
-        # First rung whose window analytically covers the RoI (+2 bilinear
-        # border, +1 origin floor, +8 x alignment; or whole-level); RoIs
-        # beyond every rung go to the most capable rung along their longer
-        # axis (bounded clamp).
-        widest = max(range(len(fix_rungs)), key=lambda i: fix_rungs[i][1])
-        tallest = max(range(len(fix_rungs)), key=lambda i: fix_rungs[i][0])
-        rid = jnp.where(ex >= ey, jnp.int32(widest), jnp.int32(tallest))
-        covered = jnp.zeros_like(need)
-        for r in range(len(fix_rungs) - 1, -1, -1):
-            wy_r, wx_r = fix_rungs[r]
-            fits = (((ey + 4.0 <= wy_r) | (wy_r >= Hl))
-                    & ((ex + 12.0 <= wx_r) | (wx_r >= Wl)))
-            rid = jnp.where(fits, jnp.int32(r), rid)
-            covered = covered | fits
+    # First rung whose window analytically covers the RoI (+2 bilinear
+    # border, +1 origin floor, +8 x alignment; or whole-level). RoIs
+    # beyond every rung (covered stays False) go ONLY to the exact
+    # gather fixup — pooling them clamped in a rung first (the round-3
+    # "bounded clamp" routing) was wasted DMA, the gather overwrote it.
+    rid = jnp.zeros((n,), jnp.int32)
+    covered = jnp.zeros_like(need)
+    for r in range(len(fix_rungs) - 1, -1, -1):
+        wy_r, wx_r = fix_rungs[r]
+        fits = (((ey + 4.0 <= wy_r) | (wy_r >= Hl))
+                & ((ex + 12.0 <= wx_r) | (wx_r >= Wl)))
+        rid = jnp.where(fits, jnp.int32(r), rid)
+        covered = covered | fits
 
-        def rung_sweep(r, wy_r, wx_r, cap):
-            def run(out_f):
-                sel = need & (rid == r)
-                idx = jnp.nonzero(sel, size=cap,
-                                  fill_value=n)[0].astype(jnp.int32)
-                count = jnp.sum(sel.astype(jnp.int32))
-                safe = jnp.minimum(idx, n - 1)
-                fsy, fsx, fvy, fvx, _ = params_flat(
-                    rois_flat[safe], wy_r, wx_r)
-                fstarts = jnp.stack([img_idx[safe], fsy, fsx], axis=-1)
-                seg = jnp.stack([
-                    jnp.int32(0),
-                    jnp.minimum((count + J - 1) // J, cap // J)])
-                fout = rk.roi_window_pool_seg(
-                    canvas, seg, fstarts, fvy, fvx, wy_r, wx_r, pooled,
-                    rois_per_step=J, interpret=interpret,
-                    out_qp=out_qp)[:cap]
-                # Pad slots carry idx == n -> dropped by the scatter.
-                return out_f.at[idx].set(fout.astype(out_f.dtype),
+    def chunk_loop(out_flat, sel, cap, chunk_fn):
+        """Scatter chunk_fn(idx)'s rows into out_flat for every selected
+        row, cap rows per chunk, ceil(count/cap) while-loop iterations."""
+        count = jnp.sum(sel.astype(jnp.int32))
+        rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
+        nchunks = (count + cap - 1) // cap
+
+        def body(carry):
+            k, of = carry
+            lo = k * cap
+            sel_k = sel & (rank >= lo) & (rank < lo + cap)
+            idx = jnp.nonzero(sel_k, size=cap,
+                              fill_value=n)[0].astype(jnp.int32)
+            cnt_k = jnp.minimum(count - lo, cap)
+            vals = chunk_fn(idx, cnt_k)
+            # Pad slots carry idx == n -> dropped by the scatter.
+            return k + 1, of.at[idx].set(vals.astype(of.dtype),
                                          mode="drop")
-            return run
 
-        # PER-RUNG capacity-tier dispatch (n/fix_frac -> n/8 -> n/4 ->
-        # full): each rung independently picks the smallest tier that
-        # holds ITS count, and rungs with no routed RoIs are skipped
-        # outright. Round 3's GLOBAL escalation (any rung over -> ALL
-        # rungs re-run at the escalated tier, and only tiers small/n/8/
-        # full existed) was the 144.6 -> 127.1 img/s regression: the
-        # calibrated workload routes ~13% of proposals (wide clipped-
-        # anchor shapes) to the (32,96) rung — just over the n/8 tier at
-        # batch 48 — so EVERY step re-ran BOTH rungs at full capacity,
-        # ~12,000 mostly-idle grid steps at ~2.2us each. Per-rung
-        # dispatch bounds idle bookkeeping at <= 2x the actual count and
-        # keeps the untouched (64,48) rung free. Exact for ANY count:
-        # the final tier is always full capacity. Same escape-hatch
-        # pattern as the NMS pre-top-K overflow cond in core/test.py.
-        counts = [jnp.sum((need & (rid == r)).astype(jnp.int32))
-                  for r in range(len(fix_rungs))]
-        for r, (wy_r, wx_r) in enumerate(fix_rungs):
-            tiers = sorted({
-                min(max(caps_small[r],
-                        -(-max(n // frac, J) // J) * J), cap_full)
-                for frac in (8, 4)} | {caps_small[r], cap_full})
+        return jax.lax.while_loop(
+            lambda c: c[0] < nchunks, body, (jnp.int32(0), out_flat))[1]
 
-            def dispatch(i, of, r=r, wy_r=wy_r, wx_r=wx_r, tiers=tiers):
-                cap = tiers[i]
-                if i == len(tiers) - 1:
-                    return rung_sweep(r, wy_r, wx_r, cap)(of)
-                return jax.lax.cond(
-                    counts[r] > cap,
-                    lambda o: dispatch(i + 1, o),
-                    rung_sweep(r, wy_r, wx_r, cap), of)
+    out_flat = out
 
-            out_flat = jax.lax.cond(
-                counts[r] > 0,
-                functools.partial(dispatch, 0),
-                lambda of: of, out_flat)
+    for r, (wy_r, wx_r) in enumerate(fix_rungs):
+        cap = min(-(-max(n // fracs[r], J) // J) * J, cap_full)
 
-        # Beyond-ladder slivers (no rung — even VMEM-shrunk — covers the
-        # RoI, aspect ~>= 10 at band-top sizes): EXACT gather fixup, the
-        # same formulation the trainable backward transposes
-        # (ops/multilevel_roi.py). Samples gather IN PLACE from the packed
-        # canvas already in HBM — the earlier multilevel_roi_align_flat
-        # call re-concatenated the whole pyramid into a fresh flat tensor
-        # first, 8.3 ms/step of pure HBM copy whenever the cond fired
-        # (round-4 xprof, batch 48). Compacted like the rung sweeps, with
-        # the same full-capacity escape hatch; batches without such RoIs
-        # (all practical detection workloads) pay one any() reduction.
-        from detectron_tpu.ops import multilevel_roi as ml
+        def rung_chunk(idx, cnt_k, wy_r=wy_r, wx_r=wx_r, cap=cap):
+            safe = jnp.minimum(idx, n - 1)
+            fsy, fsx, fvy, fvx, _ = params_flat(
+                rois_flat[safe], wy_r, wx_r)
+            fstarts = jnp.stack([img_idx[safe], fsy, fsx], axis=-1)
+            seg = jnp.stack([jnp.int32(0), (cnt_k + J - 1) // J])
+            return rk.roi_window_pool_seg(
+                canvas, seg, fstarts, fvy, fvx, wy_r, wx_r, pooled,
+                rois_per_step=J, interpret=interpret, out_qp=out_qp)[:cap]
 
-        sliver = need & ~covered
+        out_flat = chunk_loop(out_flat, need & covered & (rid == r), cap,
+                              rung_chunk)
 
-        def gather_fix(cap):
-            def run(out_f):
-                idx = jnp.nonzero(sliver, size=cap,
-                                  fill_value=n)[0].astype(jnp.int32)
-                safe = jnp.minimum(idx, n - 1)
-                vals = ml.multilevel_roi_align_canvas_flat(
-                    canvas, tuple(dims), tuple(row_off_l),
-                    tuple(col_off_l), scales, rois_flat[safe],
-                    img_idx[safe], pooled, sampling_ratio, k_min, k_max,
-                    canonical_scale=canonical_scale,
-                    canonical_level=canonical_level, chunk=min(cap, 128))
-                if out_qp:
-                    vals = jnp.swapaxes(vals, 1, 2)
-                return out_f.at[idx].set(vals.astype(out_f.dtype),
-                                         mode="drop")
-            return run
+    # Beyond-ladder slivers (no rung — even VMEM-shrunk — covers the
+    # RoI, aspect ~>= 10 at band-top sizes): EXACT gather fixup, the
+    # same formulation the trainable backward transposes
+    # (ops/multilevel_roi.py). Samples gather IN PLACE from the packed
+    # canvas already in HBM (no flat-pyramid rebuild), chunked by the
+    # same while loop — a batch without such RoIs (all practical
+    # detection workloads) pays one predicate.
+    from detectron_tpu.ops import multilevel_roi as ml
 
-        n_sliver = jnp.sum(sliver.astype(jnp.int32))
-        if cap_small >= cap_full:
-            return jax.lax.cond(n_sliver > 0, gather_fix(cap_full),
-                                lambda of: of, out_flat)
-        # Same capacity-tier escalation as the rung sweeps: the gather
-        # formulation costs ~linearly in its compaction cap, so a batch
-        # with slightly-too-many slivers should pay the n/8 tier, not a
-        # full-capacity gather over EVERY RoI (the all-RoI gather is the
-        # 26 img/s round-1 path).
-        cap_mid = min(max(cap_small, -(-max(n // 8, J) // J) * J), cap_full)
-        tiers = [c for c in (cap_small, cap_mid, cap_full)
-                 if c == cap_small or c > cap_small]
-        tiers = sorted(set(tiers))
+    cap_sl = min(-(-max(n // fix_frac, J) // J) * J, cap_full)
 
-        def dispatch(i, of):
-            cap = tiers[i]
-            if i == len(tiers) - 1:
-                return gather_fix(cap)(of)
-            return jax.lax.cond(n_sliver > cap,
-                                lambda o: dispatch(i + 1, o),
-                                gather_fix(cap), of)
+    def sliver_chunk(idx, cnt_k):
+        safe = jnp.minimum(idx, n - 1)
+        vals = ml.multilevel_roi_align_canvas_flat(
+            canvas, tuple(dims), tuple(row_off_l),
+            tuple(col_off_l), scales, rois_flat[safe],
+            img_idx[safe], pooled, sampling_ratio, k_min, k_max,
+            canonical_scale=canonical_scale,
+            canonical_level=canonical_level, chunk=min(cap_sl, 128))
+        if out_qp:
+            vals = jnp.swapaxes(vals, 1, 2)
+        return vals
 
-        return jax.lax.cond(n_sliver > 0,
-                            lambda of: dispatch(0, of),
-                            lambda of: of, out_flat)
-
-    # The entire compaction/sweep/scatter machinery runs only when some
-    # RoI actually needs a bigger window (real detection batches: a few
-    # percent of images at most have one) — batches of window-covered RoIs
-    # pay a single any() reduction.
-    out = jax.lax.cond(jnp.any(need), fix, lambda o: o, out)
-    return out.reshape(B, R, pooled, pooled, C)
+    out_flat = chunk_loop(out_flat, need & ~covered, cap_sl, sliver_chunk)
+    return out_flat.reshape(B, R, pooled, pooled, C)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5, 6, 7, 8, 9,
