@@ -17,6 +17,7 @@ jitted detection graph:
 import logging
 import os
 import pickle
+import time
 from collections import defaultdict
 
 import numpy as np
@@ -266,7 +267,7 @@ def test_net(params, roidb_entries, dataset, batch_size=8, output_dir=None,
             im = cv2.imread(entry["image"])
             prepped, scale = blob_utils.prep_im_for_blob(
                 im, cfg.PIXEL_MEANS, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
-            blobs.append(blob_utils.im_to_canvas(prepped, canvas))
+            blobs.append(prepped)
             infos.append([prepped.shape[0], prepped.shape[1], scale])
             if use_props:
                 boxes = entry["boxes"][entry["gt_classes"] == 0] * scale
@@ -281,12 +282,25 @@ def test_net(params, roidb_entries, dataset, batch_size=8, output_dir=None,
                 v[: len(boxes)] = True
                 prop_valid.append(v)
         while len(blobs) < batch_size:
-            blobs.append(np.zeros_like(blobs[0]))
+            blobs.append(None)  # zero pad row, already zeroed below
             infos.append([canvas[0], canvas[1], 1.0])
             if use_props:
                 prop_boxes.append(np.zeros((R, 4), np.float32))
                 prop_valid.append(np.zeros(R, bool))
-        images_np = np.stack(blobs)
+        # Preallocate + fill (and cast to the graph's compute dtype on the
+        # host): no list+np.stack copy of the ~200 MB batch, and bf16
+        # halves the host->device transfer — the graph's first conv casts
+        # to the compute dtype anyway, so numerics are identical (same as
+        # bench.py's bf16 feed). Both matter on this environment's 1-core
+        # host + ~100 MB/s tunnel.
+        in_dtype = np.float32
+        if cfg.TPU.COMPUTE_DTYPE == "bfloat16":
+            import ml_dtypes
+            in_dtype = ml_dtypes.bfloat16
+        images_np = np.zeros((batch_size,) + tuple(canvas) + (3,), in_dtype)
+        for i, b in enumerate(blobs):
+            if b is not None:
+                images_np[i, :b.shape[0], :b.shape[1]] = b
         if cfg.TPU.S2D_INPUT:
             images_np = blob_utils.space_to_depth(images_np)
         timers["im_load"].toc()
@@ -341,6 +355,8 @@ def test_net(params, roidb_entries, dataset, batch_size=8, output_dir=None,
     t_wall = Timer()
     t_wall.tic()
     n_done = 0
+    n_first = 0
+    t_first_done = None
     pending = None
     while True:
         tag, item = prep_q.get()
@@ -360,6 +376,13 @@ def test_net(params, roidb_entries, dataset, batch_size=8, output_dir=None,
                             jnp.asarray(np.array(infos, np.float32)))
         if pending is not None:
             _post(*pending)
+            if t_first_done is None:
+                # First batch consumed: everything before this point is
+                # dominated by the one-off XLA compile (the persistent
+                # cache makes reruns skip it); the steady rate below
+                # excludes it.
+                t_first_done = time.time()
+                n_first = n_done
         pending = (chunk, infos, out)
         n_done += len(chunk)
         if n_done % (batch_size * 8) < batch_size:
@@ -378,6 +401,13 @@ def test_net(params, roidb_entries, dataset, batch_size=8, output_dir=None,
         logger.info("test_net: %d images in %.1fs (%.2f img/s end-to-end)",
                     num_images, t_wall.total_time,
                     num_images / max(t_wall.total_time, 1e-9))
+        if t_first_done is not None and num_images > n_first:
+            steady = time.time() - t_first_done
+            logger.info(
+                "test_net: steady state %.2f img/s (%d images in %.1fs, "
+                "first batch + compile excluded)",
+                (num_images - n_first) / max(steady, 1e-9),
+                num_images - n_first, steady)
 
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)

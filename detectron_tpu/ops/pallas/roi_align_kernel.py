@@ -405,8 +405,26 @@ def roi_window_pool(canvas, starts, vy, vx, window_y, window_x, pooled,
     assert N % rois_per_step == 0
     grid = (N // rois_per_step,)
 
+    item = canvas.dtype.itemsize
     n_slots, c_chunk, subgroups = _pick_layout(
-        rois_per_step, pooled, window_y, window_x, C, canvas.dtype.itemsize)
+        rois_per_step, pooled, window_y, window_x, C, item)
+    compiler_params = None
+    if n_slots < 2:
+        # Default-scope pick lost the double buffering (e.g. the mask
+        # head's P=14 f32 intermediates push the 2-slot layout to ~16-19
+        # MB): re-pick under the elevated budget and raise THIS kernel's
+        # scoped-VMEM limit, exactly like the fixup seg sweeps. Measured
+        # round 4: the single-slot mask base sweep ran at ~2x its DMA
+        # floor (10.2 ms/step at batch 48) for want of ~3 MB of scope.
+        sl2, cc2, sub2 = _pick_layout(
+            rois_per_step, pooled, window_y, window_x, C, item,
+            budget=_VMEM_BUDGET_SEG)
+        if sl2 > n_slots:
+            n_slots, c_chunk, subgroups = sl2, cc2, sub2
+            est = _vmem_estimate(n_slots, c_chunk, subgroups, rois_per_step,
+                                 pooled, window_y, window_x, C, item)
+            compiler_params = pltpu.CompilerParams(
+                vmem_limit_bytes=int(est * 1.25))
 
     # Step i's block of this rolled copy holds step i+1's origins (the
     # double-buffer prefetch source). The wrap-around block is never started
@@ -451,5 +469,7 @@ def roi_window_pool(canvas, starts, vy, vx, window_y, window_x, pooled,
         ],
         out_shape=jax.ShapeDtypeStruct((N, pooled, pooled, C), canvas.dtype),
         interpret=interpret,
+        **({"compiler_params": compiler_params}
+           if compiler_params is not None and not interpret else {}),
     )(starts, starts_next, vy.reshape(N * pooled, window_y),
       vx.reshape(N * pooled, window_x), canvas)

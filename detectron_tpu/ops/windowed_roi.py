@@ -605,7 +605,14 @@ def multilevel_roi_align_pallas_ladder(
     # detection workloads) pays one predicate.
     from detectron_tpu.ops import multilevel_roi as ml
 
-    cap_sl = min(-(-max(n // fix_frac, J) // J) * J, cap_full)
+    # Sliver chunk capacity is much smaller than the rungs' (n/256 vs
+    # n/fix_frac): the gather formulation costs ~linearly in CAP, not in
+    # count (its internal lax.map runs cap/128 sequential chunks even for
+    # a single sliver), and real workloads have at most a handful per
+    # step. Measured round 4 (batch 48, calibrated): cap n/8 cost 31
+    # ms/step for a near-zero sliver count; cap n/256 -> <1 ms. Large
+    # sliver counts just loop more — exactness is count-independent.
+    cap_sl = min(-(-max(n // 256, J) // J) * J, cap_full)
 
     def sliver_chunk(idx, cnt_k):
         safe = jnp.minimum(idx, n - 1)

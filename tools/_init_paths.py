@@ -25,3 +25,12 @@ if _platforms or _cpu_devs:
         jax.config.update("jax_platforms", _platforms)
     if _cpu_devs:
         jax.config.update("jax_num_cpu_devices", int(_cpu_devs))
+
+# Persistent compile cache (same dir bench.py uses): tool reruns on the
+# same shapes skip the multi-minute XLA compile.
+import jax as _jax  # noqa: E402
+
+_jax.config.update("jax_compilation_cache_dir",
+                   os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                  "/tmp/jax_cache"))
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -140,6 +140,11 @@ def main():
         # lane; excluding them from totals keeps self-time sums = step time.
         if name.startswith("jit_") and "(" in name:
             return
+        # Some traces name the per-step module root by its bare program id
+        # ("2", "5", ...) with no hlo_category — same whole-step wrapper
+        # (seen on train-step traces; duration == the whole step).
+        if name.isdigit() and not (e.get("args") or {}).get("hlo_category"):
+            return
         by_op[name] += self_ms
         by_cat[categorize(e)] += self_ms
         by_stage[stage_of(e)] += self_ms
