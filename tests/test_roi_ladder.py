@@ -221,13 +221,14 @@ def test_ladder_narrow_top_rung_overflow():
 
 
 def test_ladder_mid_tier_escalation_exact():
-    """n/8 MID capacity tier (advisor r3 medium): with n=80 RoIs (J=8,
-    fix_frac=64) the tiers are small=8 < mid=16 < full=80, and 9-16 RoIs
-    routed to a rung land strictly between the small and mid caps — the
-    over_small cond must take the MID sweeps (not full) and stay exact.
-    12 wide-elongated RoIs hit the (32,96) rung's mid tier, 12
-    tall-elongated hit (64,48)'s, and all 80 RoIs must match the exact
-    gather reference."""
+    """Multi-chunk rung counts (advisor r3 medium asked for n>=72
+    coverage): with n=80 RoIs (J=8, default fix_frac=8 -> per-rung chunk
+    cap 16), 12 RoIs routed to a rung need TWO while-loop chunks — the
+    second partially filled. 12 wide-elongated RoIs exercise the (32,96)
+    rung's multi-chunk path, 12 tall-elongated the (64,48) rung's, and
+    all 80 RoIs must match the exact gather reference. (Historically this
+    guarded the n/8 capacity-tier cond dispatch the while-loop chunking
+    replaced — the count regime is preserved.)"""
     rng = np.random.RandomState(21)
     B = 1
     pyr = _pyramid(rng, B)
@@ -244,11 +245,10 @@ def test_ladder_mid_tier_escalation_exact():
 
 
 def test_ladder_sliver_mid_tier_exact():
-    """Sliver-gather MID capacity tier: 12 beyond-ladder vertical slivers
-    (aspect ~1/90 at level 2 — taller than every rung) with n=80 puts
-    n_sliver strictly between cap_small=8 and cap_mid=16, driving the
-    gather-fixup tier dispatch through gather_fix(cap_mid). Whole batch
-    exact."""
+    """Sliver-gather multi-chunk path: 12 beyond-ladder vertical slivers
+    (aspect ~1/90 at level 2 — taller than every rung) with n=80 exceed
+    the sliver chunk cap (max(n // 256, J) = 8), driving the exact-gather
+    while loop through two chunks. Whole batch exact."""
     rng = np.random.RandomState(22)
     B = 1
     pyr = _pyramid(rng, B)
