@@ -47,7 +47,10 @@ def main():
     if os.environ.get("BENCH_MODE") == "train":
         return train_bench()
 
-    B = 48  # batch per chip (measured: 32 -> 142.7, 48 -> 144.7, 64 -> 144.7 img/s)
+    # Batch per chip (no-ladder measurements: 32 -> 142.7, 48 -> 144.7,
+    # 64 -> 144.7 img/s). BENCH_BS overrides for re-checks after the
+    # per-step cost structure changes.
+    B = int(os.environ.get("BENCH_BS", "48"))
     H, W = 832, 1344
 
     params = mb.init_model(jax.random.PRNGKey(0))

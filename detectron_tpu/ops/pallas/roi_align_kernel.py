@@ -389,6 +389,152 @@ def roi_window_pool_seg(canvas, seg, starts, vy, vx, window_y,
       vx.reshape(N * pooled, window_x), canvas)
 
 
+# ---------------------------------------------------------------------------
+# BACKWARD: windowed RoIAlign transpose as a window-accumulate kernel
+# ---------------------------------------------------------------------------
+
+def _kernel_accum_seg(seg_ref, starts_ref, ctq_ref, vyt_ref, vxt_ref,
+                      canvas_in_ref, canvas_ref, win_scratch, sem, *,
+                      rois_per_step, window_y, window_x, pooled, channels):
+    """Transpose of _kernel_seg's linear map: for each RoI, accumulate
+    d_win[h, w, c] = sum_p vy[p, h] * sum_q vx[q, w] * ct[p, q, c] into its
+    canvas window (read-modify-write). TPU grid steps run SEQUENTIALLY and
+    the j-loop below waits each window's write-back before starting the
+    next window's read, so overlapping windows (RoIs cluster on P2)
+    accumulate correctly — this is what makes the kernel a legal scatter-
+    add. The per-RoI matmuls are tiny (K = pooled = 7) but the kernel is
+    DMA-bound by construction; the window gradient is computed WHILE the
+    read DMA is in flight.
+
+    Replaces the XLA lowering of the gather/window transpose, which
+    emitted per-sample scatter-adds at 0.7-27 GB/s — 44% of the Mask R-CNN
+    train step at batch 8 (round-4 xprof, PERF.md)."""
+    del canvas_in_ref  # aliased with canvas_ref (the RMW target)
+    step = pl.program_id(0)
+    lo = seg_ref[0]
+    hi = seg_ref[1]
+    active = jnp.logical_and(step >= lo, step < hi)
+    P, WY, WX, C = pooled, window_y, window_x, channels
+
+    @pl.when(active)
+    def _():
+        for j in range(rois_per_step):
+            b = starts_ref[j, 0]
+            y0 = starts_ref[j, 1]
+            x0 = pl.multiple_of(starts_ref[j, 2], 8)
+            win = canvas_ref.at[b, pl.ds(y0, window_y),
+                                pl.ds(x0, window_x), :]
+            rd = pltpu.make_async_copy(win, win_scratch, sem)
+            rd.start()
+            # Window gradient while the read flies. u2[(w), (p, c)] =
+            # sum_q vx[q, w] ct[q, (p, c)]; dw[(h), (w, c)] =
+            # sum_p vy[p, h] u2'[(p), (w, c)]. All reshapes split/merge
+            # LANES only (P/Q = 7 never merges into sublanes — an
+            # unsupported Mosaic shape cast, same constraint as the
+            # forward kernel's pre-flattened vy/vx).
+            u2 = jax.lax.dot_general(
+                vxt_ref[j], ctq_ref[j], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (WX, P*C)
+            m = u2.reshape(WX, P, C).transpose(1, 0, 2).reshape(P, WX * C)
+            dw = jax.lax.dot_general(
+                vyt_ref[j], m, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (WY, WX*C)
+            rd.wait()
+            win_scratch[:] = win_scratch[:] + dw.reshape(
+                WY, WX, C).astype(win_scratch.dtype)
+            wr = pltpu.make_async_copy(win_scratch, win, sem)
+            wr.start()
+            # Serialize: window j+1 may overlap window j; its read must
+            # observe this write.
+            wr.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_y", "window_x", "pooled", "rois_per_step",
+                     "interpret"),
+    donate_argnums=(0,),
+)
+def roi_window_accum_seg(canvas_grad, seg, starts, ct, vy, vx, window_y,
+                         window_x, pooled, rois_per_step=8,
+                         interpret=False):
+    """Accumulate per-RoI pooled cotangents back into a gradient canvas:
+    the exact linear transpose of roi_window_pool(_seg) for the same
+    (starts, vy, vx). canvas_grad: (B, Hc, Wc, C) float32 (donated,
+    updated in place via input/output aliasing); seg: (2,) int32 active
+    step range (pass [0, N // J] for a full sweep); starts: (N, 3) int32
+    [img, y0, x0] with x0 8-aligned; ct: (N, P, P, C) cotangent rows in
+    (p, q) order — callers with out_qp forwards swap axes first; vy:
+    (N, P, WY), vx: (N, P, WX) — the SAME interpolation weights as the
+    forward. Rows whose cotangent is zero accumulate zeros (callers mask
+    rather than compact when most rows are active). Returns the updated
+    canvas."""
+    N = starts.shape[0]
+    C = canvas_grad.shape[-1]
+    J = rois_per_step
+    assert N % J == 0
+    assert canvas_grad.dtype == jnp.float32
+    nsteps = N // J
+    P = pooled
+
+    # Host-side layouts the kernel can consume without sublane merges:
+    # ctq (N, Q, P*C) rows-by-q; vyT (N, WY, P); vxT (N, WX, Q).
+    ctq = ct.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(N, P, P * C)
+    vyt = jnp.swapaxes(vy.astype(jnp.float32), 1, 2)
+    vxt = jnp.swapaxes(vx.astype(jnp.float32), 1, 2)
+
+    kernel = functools.partial(
+        _kernel_accum_seg, rois_per_step=J, window_y=window_y,
+        window_x=window_x, pooled=pooled, channels=C)
+
+    def clampmap(i, seg_ref):
+        return jnp.clip(i, seg_ref[0],
+                        jnp.maximum(seg_ref[1] - 1, seg_ref[0]))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((J, 3), lambda i, s: (clampmap(i, s), 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((J, P, P * C), lambda i, s: (clampmap(i, s), 0, 0)),
+            pl.BlockSpec((J, window_y, P),
+                         lambda i, s: (clampmap(i, s), 0, 0)),
+            pl.BlockSpec((J, window_x, P),
+                         lambda i, s: (clampmap(i, s), 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),   # canvas stays in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((window_y, window_x, C), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    # VMEM: one RMW window + the f32 dw/u2 intermediates + the weight/ct
+    # blocks. The tall/wide rung shapes at P=14 exceed the default 16 MB
+    # scope the same way the forward seg sweeps do; raise this kernel's
+    # scope when the estimate says so.
+    est = (2 * window_y * window_x * C * 4          # scratch + dw
+           + window_x * P * C * 4 * 2               # u2 + its transpose
+           + J * (P * P * C + (window_y + window_x) * P) * 4)
+    kwargs = {}
+    if est > _VMEM_BUDGET and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(est * 1.25))
+
+    # Operand indices for aliasing count the scalar-prefetch arg: seg=0,
+    # starts=1, ctq=2, vyt=3, vxt=4, canvas=5.
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(canvas_grad.shape, jnp.float32),
+        input_output_aliases={5: 0},
+        interpret=interpret,
+        **kwargs,
+    )(seg, starts, ctq, vyt, vxt, canvas_grad)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("window_y", "window_x", "pooled", "rois_per_step",

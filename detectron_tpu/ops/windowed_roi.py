@@ -173,6 +173,82 @@ def _canvas_meta(pyramid, window):
     return heights, widths, row_off, pad_rows
 
 
+def _ladder_geom(dims, C, item, pooled, rungs, J, narrow_base, top_frac,
+                 fix_frac):
+    """Static ladder geometry, shared by the forward sweep dispatch and
+    the Pallas backward (window-accumulate) so the two transpose the SAME
+    linear map: base window shape, VMEM-fitted fixup rungs + compaction
+    fractions, canvas layout (2-D packed or row-stacked) with per-level
+    row/col origins, and the canvas H/W. dims: list of (H_l, W_l); item:
+    the FORWARD pyramid dtype's itemsize (rung fitting must match the
+    forward even when the backward accumulates in f32)."""
+    from detectron_tpu.ops.pallas import roi_align_kernel as rk
+
+    H_top, W_top = dims[-1]
+    wy_base = rungs[0][0]
+    x_cover = 0 if narrow_base else (W_top if H_top <= wy_base else 0)
+    wx_base = -(-max(rungs[0][1], wy_base + 8, x_cover) // 8) * 8
+
+    fix_shapes = list(rungs[1:])
+    fracs = [fix_frac] * len(fix_shapes)
+    if narrow_base:
+        top_rung = (max(wy_base, H_top),
+                    -(-max(W_top, wy_base + 8) // 8) * 8)
+        fix_shapes = [top_rung] + fix_shapes
+        fracs = [top_frac] + fracs
+
+    fix_rungs = tuple(
+        (wy, rk.fit_window_x_seg(J, pooled, wy, wx, C, item))
+        for wy, wx in fix_shapes)
+    wy_max = max([wy_base] + [wy for wy, _ in fix_shapes])
+    wx_max = max([wx_base] + [wx for _, wx in fix_shapes])
+
+    hp_last = max(H_top, wy_base)
+    overhang = 0 if x_cover else max(0, wy_max - hp_last)
+    use_2d = (len(dims) >= 2 and dims[0][1] >= wx_max
+              and max(dims[0][0], wy_base) >= wy_max)
+    if use_2d:
+        row_off_l, col_off_l, pad_rows_l, Hc, Wc = _canvas_2d_geom(
+            dims, wy_base, wx_max, overhang)
+    else:
+        pad_rows_l = [max(d[0], wy_base) for d in dims]
+        row_off_l = [sum(pad_rows_l[:i]) for i in range(len(dims))]
+        col_off_l = [0] * len(dims)
+        Hc = sum(pad_rows_l) + overhang
+        Wc = -(-(max(d[1] for d in dims) + wx_max) // 8) * 8
+    return dict(wy_base=wy_base, wx_base=wx_base, x_cover=x_cover,
+                fix_rungs=fix_rungs, fracs=tuple(fracs), wy_max=wy_max,
+                wx_max=wx_max, overhang=overhang, use_2d=use_2d,
+                row_off_l=row_off_l, col_off_l=col_off_l,
+                pad_rows_l=pad_rows_l, Hc=Hc, Wc=Wc)
+
+
+def _rung_route(rois_flat, scales, heights, widths, k_min, k_max,
+                canonical_scale, canonical_level, fix_rungs):
+    """Per-RoI fixup routing (shared forward/backward): first rung whose
+    window analytically covers the RoI's level-clamped extent (+2 bilinear
+    border, +1 origin floor, +8 x alignment; or whole-level). Returns
+    (covered (n,) bool, rid (n,) int32)."""
+    lvl = roi_levels(rois_flat.astype(jnp.float32), k_min, k_max,
+                     canonical_scale, canonical_level)
+    sc = jnp.asarray(scales, jnp.float32)[lvl - k_min]
+    Hl = heights[lvl - k_min]
+    Wl = widths[lvl - k_min]
+    rf = rois_flat.astype(jnp.float32)
+    ex = jnp.minimum((rf[:, 2] - rf[:, 0] + 1.0) * sc, Wl)
+    ey = jnp.minimum((rf[:, 3] - rf[:, 1] + 1.0) * sc, Hl)
+
+    rid = jnp.zeros((rois_flat.shape[0],), jnp.int32)
+    covered = jnp.zeros(rid.shape, bool)
+    for r in range(len(fix_rungs) - 1, -1, -1):
+        wy_r, wx_r = fix_rungs[r]
+        fits = (((ey + 4.0 <= wy_r) | (wy_r >= Hl))
+                & ((ex + 12.0 <= wx_r) | (wx_r >= Wl)))
+        rid = jnp.where(fits, jnp.int32(r), rid)
+        covered = covered | fits
+    return covered, rid
+
+
 def _canvas_2d_geom(pyramid_dims, window_y, wx_pad, overhang_b):
     """2-D packed canvas geometry (ladder path): the (largest) level 0
     alone in column A at origin (0, 0) — its own width is >= every window,
@@ -415,78 +491,33 @@ def multilevel_roi_align_pallas_ladder(
     n = B * R
     item = pyramid[0].dtype.itemsize
 
-    H_top, W_top = pyramid[-1].shape[1], pyramid[-1].shape[2]
-    wy_base = rungs[0][0]
-    # Base window geometry == multilevel_roi_align_pallas(x_cover=W_top):
-    # whole-top-level x coverage when the top level fits the base height
-    # (narrow_base opts out and routes top RoIs through a fixup rung).
-    x_cover = 0 if narrow_base else (W_top if H_top <= wy_base else 0)
-    wx_base = -(-max(rungs[0][1], wy_base + 8, x_cover) // 8) * 8
-
-    fix_shapes = list(rungs[1:])
-    fracs = [fix_frac] * len(fix_shapes)
-    if narrow_base:
-        # Whole-top-level rung, FIRST so every top RoI (and cheap slightly-
-        # wide mid RoIs) routes here rather than to a taller/wider rung.
-        top_rung = (max(wy_base, H_top),
-                    -(-max(W_top, wy_base + 8) // 8) * 8)
-        fix_shapes = [top_rung] + fix_shapes
-        fracs = [top_frac] + fracs
-
-    # Fixup rungs, fitted under the seg sweeps' ELEVATED VMEM scope
-    # (roi_window_pool_seg raises its own per-kernel vmem_limit_bytes —
-    # see _VMEM_BUDGET_SEG in the kernel module): under the default 16 MB
-    # scope the mask head's (32,96) rung shrank to (32,80), pushing every
-    # wide detection into the sliver gather fixup — 8.3 ms/step of
-    # flat-pyramid rebuild at batch 48, measured round 4. Fixup rungs see
-    # a few percent of RoIs, so a few extra MB of scoped VMEM on their
-    # small sweeps is strictly better than routing the traffic to the
-    # gather fallback. (rois_per_step stays 8 everywhere: the SMEM starts
-    # block needs J % 8 == 0 on TPU.)
-    fix_rungs = tuple(
-        (wy, rk.fit_window_x_seg(J, pooled, wy, wx, C, item))
-        for wy, wx in fix_shapes)
-    wy_max = max([wy_base] + [wy for wy, _ in fix_shapes])
-    # Canvas x-pad uses the UNSHRUNK max rung width: padding is free, and
-    # keeping the canvas shape independent of the per-pooled-size VMEM
-    # shrink makes the box (pooled=7) and mask (pooled=14) calls build
-    # byte-identical canvases that XLA CSEs into one (measured: the second
-    # build cost 6.9 ms/step at batch 32 when the widths differed).
-    wx_max = max([wx_base] + [wx for _, wx in fix_shapes])
-
-    hp_last = max(H_top, wy_base)
-    # Fixup rungs read below a level's block only for levels they can be
-    # assigned to. With the full-canvas base (x_cover), top-level RoIs are
-    # always base-covered, so no tall window ever starts at the LAST
-    # level: tall reads at level l land inside level l+1's rows and the
-    # canvas needs no bottom overhang at all.
-    overhang = 0 if x_cover else max(0, wy_max - hp_last)
+    # Static geometry (base window, VMEM-fitted fixup rungs, canvas
+    # layout) comes from _ladder_geom — shared with the Pallas backward
+    # so forward and transpose cannot drift. See _ladder_geom and the
+    # round-3/4 PERF.md notes for why each piece is shaped the way it is
+    # (elevated fixup VMEM scope, unshrunk canvas x-pad for box/mask
+    # canvas CSE, 2-D packing validity, bottom overhang for tall rungs).
     dims = [(f.shape[1], f.shape[2]) for f in pyramid]
+    g = _ladder_geom(dims, C, item, pooled, rungs, J, narrow_base,
+                     top_frac, fix_frac)
+    wy_base, wx_base = g["wy_base"], g["wx_base"]
+    x_cover = g["x_cover"]
+    fix_rungs, fracs = g["fix_rungs"], g["fracs"]
+    row_off_l, col_off_l = g["row_off_l"], g["col_off_l"]
     heights = jnp.asarray([d[0] for d in dims], jnp.float32)
     widths = jnp.asarray([d[1] for d in dims], jnp.float32)
-    # 2-D packing is valid when level 0 is wide enough that no whole-level
-    # window can read past it into column B, and tall enough to host the
-    # tallest rung inside its own block.
-    use_2d = (len(pyramid) >= 2 and dims[0][1] >= wx_max
-              and max(dims[0][0], wy_base) >= wy_max)
-    if use_2d:
-        canvas = build_canvas_batched_2d(pyramid, wy_base, wx_max, overhang)
-        row_off_l, col_off_l, pad_rows_l, _, _ = _canvas_2d_geom(
-            dims, wy_base, wx_max, overhang)
-        row_off = jnp.asarray(row_off_l, jnp.float32)
+    if g["use_2d"]:
+        canvas = build_canvas_batched_2d(pyramid, wy_base, g["wx_max"],
+                                         g["overhang"])
         col_off = jnp.asarray(col_off_l, jnp.float32)
-        pad_rows = jnp.asarray(pad_rows_l, jnp.float32)
     else:
-        canvas = build_canvas_batched(pyramid, wy_base, wx_max,
-                                      overhang_y=overhang)
-        _, _, row_off, pad_rows = _canvas_meta(
-            [f[0] for f in pyramid], wy_base)
+        canvas = build_canvas_batched(pyramid, wy_base, g["wx_max"],
+                                      overhang_y=g["overhang"])
         col_off = None
-        # Static offsets mirroring _canvas_meta (the sliver gather fixup
-        # indexes the canvas directly and needs them at trace time).
-        pr = [max(d[0], wy_base) for d in dims]
-        row_off_l = [sum(pr[:i]) for i in range(len(dims))]
-        col_off_l = [0] * len(dims)
+    row_off = jnp.asarray(row_off_l, jnp.float32)
+    pad_rows = jnp.asarray(g["pad_rows_l"], jnp.float32)
+    assert canvas.shape[1] == g["Hc"] and canvas.shape[2] == g["Wc"], (
+        canvas.shape, g)
     Wc = canvas.shape[2]
 
     def params_flat(r2, wy, wx):
@@ -529,32 +560,13 @@ def multilevel_roi_align_pallas_ladder(
     cap_full = -(-n // J) * J
     need = ~ok
 
-    lvl = roi_levels(rois_flat.astype(jnp.float32), k_min, k_max,
-                     canonical_scale, canonical_level)
-    sc = jnp.asarray(scales, jnp.float32)[lvl - k_min]
-    Hl = heights[lvl - k_min]
-    Wl = widths[lvl - k_min]
-    rf = rois_flat.astype(jnp.float32)
-    # Level-CLAMPED extents: samples outside the level are zero-weight,
-    # so the span a window must cover never exceeds the level's dims —
-    # and a window >= the level dimension covers it whole regardless
-    # of the RoI's raw extent (the full-canvas clause).
-    ex = jnp.minimum((rf[:, 2] - rf[:, 0] + 1.0) * sc, Wl)
-    ey = jnp.minimum((rf[:, 3] - rf[:, 1] + 1.0) * sc, Hl)
-
-    # First rung whose window analytically covers the RoI (+2 bilinear
-    # border, +1 origin floor, +8 x alignment; or whole-level). RoIs
-    # beyond every rung (covered stays False) go ONLY to the exact
-    # gather fixup — pooling them clamped in a rung first (the round-3
-    # "bounded clamp" routing) was wasted DMA, the gather overwrote it.
-    rid = jnp.zeros((n,), jnp.int32)
-    covered = jnp.zeros_like(need)
-    for r in range(len(fix_rungs) - 1, -1, -1):
-        wy_r, wx_r = fix_rungs[r]
-        fits = (((ey + 4.0 <= wy_r) | (wy_r >= Hl))
-                & ((ex + 12.0 <= wx_r) | (wx_r >= Wl)))
-        rid = jnp.where(fits, jnp.int32(r), rid)
-        covered = covered | fits
+    # Per-RoI fixup routing (level-clamped extents; RoIs beyond every
+    # rung go ONLY to the exact gather fixup — pooling them clamped in a
+    # rung first was wasted DMA, the gather overwrote it). Shared with
+    # the backward via _rung_route.
+    covered, rid = _rung_route(rois_flat, scales, heights, widths, k_min,
+                               k_max, canonical_scale, canonical_level,
+                               fix_rungs)
 
     def chunk_loop(out_flat, sel, cap, chunk_fn):
         """Scatter chunk_fn(idx)'s rows into out_flat for every selected
@@ -663,15 +675,16 @@ def _ladder_trainable_fwd(pyramid, scales, rois, pooled, sampling_ratio,
     return out, (rois, pyr_struct)
 
 
-def _ladder_trainable_bwd(scales, pooled, sampling_ratio, k_min, k_max,
-                          canonical_scale, canonical_level, rungs,
-                          rois_per_step, interpret, out_qp, narrow_base,
-                          res, ct):
+def _ladder_bwd_gather(scales, pooled, sampling_ratio, k_min, k_max,
+                       canonical_scale, canonical_level, res, ct):
+    """Round-3 backward: transpose of the exact gather formulation, which
+    XLA lowers to per-sample scatter-adds (0.7-27 GB/s — 44% of the train
+    step at batch 8, round-4 xprof). Kept as the parity oracle for the
+    Pallas window-accumulate backward and as an A/B escape hatch
+    (DETECTRON_TPU_ROI_BWD=gather)."""
     from detectron_tpu.ops import multilevel_roi as ml
 
     rois, pyr_struct = res
-    if out_qp:
-        ct = jnp.swapaxes(ct, 2, 3)
 
     def fwd_lin(pyr):
         def one(fs, r):
@@ -688,6 +701,158 @@ def _ladder_trainable_bwd(scales, pooled, sampling_ratio, k_min, k_max,
     zeros = [jnp.zeros(s.shape, s.dtype) for s in pyr_struct]
     _, vjp_fn = jax.vjp(fwd_lin, zeros)
     d_pyr = vjp_fn(ct.astype(pyr_struct[0].dtype))[0]
+    return (d_pyr, jnp.zeros_like(rois))
+
+
+def _ladder_trainable_bwd(scales, pooled, sampling_ratio, k_min, k_max,
+                          canonical_scale, canonical_level, rungs,
+                          rois_per_step, interpret, out_qp, narrow_base,
+                          res, ct):
+    """Backward of the ladder RoIAlign: the Pallas window-accumulate
+    kernel (ops/pallas/roi_align_kernel.py :: roi_window_accum_seg) RMWs
+    each RoI's window gradient into an f32 canvas at DMA rate, routed by
+    the SAME per-RoI geometry as the forward (base window for covered
+    RoIs, fixup rungs via count-scaled while-loop chunks, exact gather
+    transpose for beyond-ladder slivers) — the transpose of the identical
+    linear map. Replaces the XLA gather-transpose scatter-adds (158.7
+    ms/step at train batch 8, 44% of the step — round-4 xprof); see
+    _ladder_bwd_gather for the retained oracle."""
+    import os
+
+    if out_qp:
+        ct = jnp.swapaxes(ct, 2, 3)
+    if os.environ.get("DETECTRON_TPU_ROI_BWD") == "gather":
+        return _ladder_bwd_gather(scales, pooled, sampling_ratio, k_min,
+                                  k_max, canonical_scale, canonical_level,
+                                  res, ct)
+
+    from detectron_tpu.ops import multilevel_roi as ml
+    from detectron_tpu.ops.pallas import roi_align_kernel as rk
+
+    rois, pyr_struct = res
+    B, R = rois.shape[:2]
+    n = B * R
+    J = rois_per_step
+    C = pyr_struct[0].shape[-1]
+    dtype = pyr_struct[0].dtype
+    dims = [(s.shape[1], s.shape[2]) for s in pyr_struct]
+    # Rung fitting uses the FORWARD dtype's itemsize: the backward must
+    # transpose the same per-RoI window routing the forward used.
+    g = _ladder_geom(dims, C, jnp.dtype(dtype).itemsize, pooled,
+                     tuple(rungs), J, narrow_base, 4, 8)
+    heights = jnp.asarray([d[0] for d in dims], jnp.float32)
+    widths = jnp.asarray([d[1] for d in dims], jnp.float32)
+    row_off = jnp.asarray(g["row_off_l"], jnp.float32)
+    col_off = (jnp.asarray(g["col_off_l"], jnp.float32)
+               if g["use_2d"] else None)
+    pad_rows = jnp.asarray(g["pad_rows_l"], jnp.float32)
+
+    rois_flat = rois.reshape(n, 4)
+    img_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), R)
+    # f32 weights: gradient accumulation precision (the forward's bf16
+    # weight rounding is a forward-value detail; both the gather oracle
+    # and this path transpose with full-precision weights).
+    ct_flat = ct.reshape(n, pooled, pooled, C).astype(jnp.float32)
+
+    def params_flat(r2, wy, wx):
+        return window_params(
+            r2, scales, heights, widths, row_off, pad_rows, g["Wc"],
+            pooled, sampling_ratio, k_min, k_max, canonical_scale,
+            canonical_level, wy, wx, jnp.float32, align_x=8,
+            col_off=col_off)
+
+    sy, sx, vy, vx, ok = params_flat(rois_flat, g["wy_base"], g["wx_base"])
+    covered, rid = _rung_route(rois_flat, scales, heights, widths, k_min,
+                               k_max, canonical_scale, canonical_level,
+                               g["fix_rungs"])
+    need = ~ok
+
+    # ------- base accumulate: all base-covered RoIs, masked (not
+    # compacted — they are ~all of the RoIs) -------
+    starts = jnp.stack([img_idx, sy, sx], axis=-1)
+    d_base = jnp.where(ok[:, None, None, None], ct_flat, 0.0)
+    pad = (-n) % J
+    if pad:
+        # Pad slots: zero cotangent at origin (0, 0, 0) — accumulates +0.
+        starts = jnp.pad(starts, ((0, pad), (0, 0)))
+        d_base = jnp.pad(d_base, ((0, pad),) + ((0, 0),) * 3)
+        vy = jnp.pad(vy, ((0, pad), (0, 0), (0, 0)))
+        vx = jnp.pad(vx, ((0, pad), (0, 0), (0, 0)))
+    canvas = jnp.zeros((B, g["Hc"], g["Wc"], C), jnp.float32)
+    canvas = rk.roi_window_accum_seg(
+        canvas, jnp.asarray([0, (n + pad) // J], jnp.int32), starts,
+        d_base, vy, vx, g["wy_base"], g["wx_base"], pooled,
+        rois_per_step=J, interpret=interpret)
+
+    cap_full = -(-n // J) * J
+
+    def chunk_accum(cv, sel, cap, accum_fn):
+        """While-loop twin of the forward's chunk_loop: accumulate
+        accum_fn's contribution for every selected RoI, cap rows per
+        chunk; a zero-count selection costs one predicate."""
+        count = jnp.sum(sel.astype(jnp.int32))
+        rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
+        nchunks = (count + cap - 1) // cap
+
+        def body(carry):
+            k, c = carry
+            lo = k * cap
+            sel_k = sel & (rank >= lo) & (rank < lo + cap)
+            idx = jnp.nonzero(sel_k, size=cap,
+                              fill_value=n)[0].astype(jnp.int32)
+            cnt_k = jnp.minimum(count - lo, cap)
+            return k + 1, accum_fn(c, idx, cnt_k)
+
+        return jax.lax.while_loop(
+            lambda c: c[0] < nchunks, body, (jnp.int32(0), cv))[1]
+
+    for r, (wy_r, wx_r) in enumerate(g["fix_rungs"]):
+        cap = min(-(-max(n // g["fracs"][r], J) // J) * J, cap_full)
+
+        def rung_accum(cv, idx, cnt_k, wy_r=wy_r, wx_r=wx_r, cap=cap):
+            safe = jnp.minimum(idx, n - 1)
+            fsy, fsx, fvy, fvx, _ = params_flat(rois_flat[safe], wy_r, wx_r)
+            fstarts = jnp.stack([img_idx[safe], fsy, fsx], axis=-1)
+            live = (idx < n)[:, None, None, None]
+            fct = jnp.where(live, ct_flat[safe], 0.0)
+            seg = jnp.stack([jnp.int32(0), (cnt_k + J - 1) // J])
+            return rk.roi_window_accum_seg(
+                cv, seg, fstarts, fct, fvy, fvx, wy_r, wx_r, pooled,
+                rois_per_step=J, interpret=interpret)
+
+        canvas = chunk_accum(canvas, need & covered & (rid == r), cap,
+                             rung_accum)
+
+    # ------- beyond-ladder slivers: exact gather transpose, added into
+    # the same canvas (linear in the canvas, vjp at zeros); a batch with
+    # no slivers pays one predicate (while-loop trip count 0) -------
+    cap_sl = min(-(-max(n // 256, J) // J) * J, cap_full)
+
+    def sliver_accum(cv, idx, cnt_k):
+        safe = jnp.minimum(idx, n - 1)
+        live = (idx < n)[:, None, None, None]
+        fct = jnp.where(live, ct_flat[safe], 0.0)
+
+        def f(cz):
+            return ml.multilevel_roi_align_canvas_flat(
+                cz, tuple(dims), tuple(g["row_off_l"]),
+                tuple(g["col_off_l"]), scales, rois_flat[safe],
+                img_idx[safe], pooled, sampling_ratio, k_min, k_max,
+                canonical_scale=canonical_scale,
+                canonical_level=canonical_level, chunk=min(cap_sl, 128))
+
+        _, vjp_fn = jax.vjp(f, jnp.zeros_like(cv))
+        return cv + vjp_fn(fct.astype(jnp.float32))[0]
+
+    canvas = chunk_accum(canvas, need & ~covered, cap_sl, sliver_accum)
+
+    # Slice the per-level gradient blocks back out of the canvas (the
+    # transpose of build_canvas_batched(_2d)'s pad+concat).
+    d_pyr = []
+    for i, (H, W) in enumerate(dims):
+        r0, c0 = g["row_off_l"][i], g["col_off_l"][i]
+        d_pyr.append(jax.lax.slice(
+            canvas, (0, r0, c0, 0), (B, r0 + H, c0 + W, C)).astype(dtype))
     return (d_pyr, jnp.zeros_like(rois))
 
 
@@ -768,6 +933,13 @@ def _pallas_trainable_bwd(scales, pooled, sampling_ratio, k_min, k_max,
                           canonical_scale, canonical_level, window,
                           rois_per_step, interpret, x_cover, out_qp, res,
                           ct):
+    """Backward of the single-window Pallas path: the same window-
+    accumulate kernel as the ladder backward (every RoI uses the base
+    window geometry — the exact transpose of the forward's map, clamping
+    included). DETECTRON_TPU_ROI_BWD=gather selects the old XLA
+    dynamic_slice linear transpose (scatter-add lowering)."""
+    import os
+
     rois, shapes, pyr_struct = res
     if out_qp:
         # The forward emitted (B, R, Q, P, C); restore (p, q) for the
@@ -781,29 +953,61 @@ def _pallas_trainable_bwd(scales, pooled, sampling_ratio, k_min, k_max,
     Wc = -(-wmax // 8) * 8
     dtype = pyr_struct[0].dtype
 
+    if os.environ.get("DETECTRON_TPU_ROI_BWD") == "gather":
+        starts, vy, vx = _pallas_window_params_batched(
+            shapes, scales, rois, pooled, sampling_ratio, k_min, k_max,
+            canonical_scale, canonical_level, window, dtype, Wc,
+            x_cover=x_cover)
+
+        # d_win[n, h, w, c] = sum_{p,q} vy[n,p,h] vx[n,q,w] ct[n,p,q,c]
+        ct_f = ct.reshape(B * R, pooled, pooled, -1).astype(jnp.float32)
+        tmp = jnp.einsum("nph,npqc->nhqc", vy.astype(jnp.float32), ct_f)
+        d_win = jnp.einsum("nqw,nhqc->nhwc", vx.astype(jnp.float32), tmp)
+
+        def gather_windows(pyr):
+            canvas = build_canvas_batched(pyr, window_y, window_x)
+            C = canvas.shape[-1]
+
+            def one(s):
+                return jax.lax.dynamic_slice(
+                    canvas, (s[0], s[1], s[2], jnp.int32(0)),
+                    (1, window_y, window_x, C))[0]
+
+            return jax.vmap(one)(starts)
+
+        d_pyr = jax.linear_transpose(gather_windows, list(pyr_struct))(
+            d_win.astype(dtype))[0]
+        return (d_pyr, jnp.zeros_like(rois))
+
+    from detectron_tpu.ops.pallas import roi_align_kernel as rk
+
+    C = pyr_struct[0].shape[-1]
+    n = B * R
+    J = rois_per_step
     starts, vy, vx = _pallas_window_params_batched(
         shapes, scales, rois, pooled, sampling_ratio, k_min, k_max,
-        canonical_scale, canonical_level, window, dtype, Wc,
+        canonical_scale, canonical_level, window, jnp.float32, Wc,
         x_cover=x_cover)
-
-    # d_win[n, h, w, c] = sum_{p,q} vy[n,p,h] vx[n,q,w] ct[n,p,q,c]
-    ct_f = ct.reshape(B * R, pooled, pooled, -1).astype(jnp.float32)
-    tmp = jnp.einsum("nph,npqc->nhqc", vy.astype(jnp.float32), ct_f)
-    d_win = jnp.einsum("nqw,nhqc->nhwc", vx.astype(jnp.float32), tmp)
-
-    def gather_windows(pyr):
-        canvas = build_canvas_batched(pyr, window_y, window_x)
-        C = canvas.shape[-1]
-
-        def one(s):
-            return jax.lax.dynamic_slice(
-                canvas, (s[0], s[1], s[2], jnp.int32(0)),
-                (1, window_y, window_x, C))[0]
-
-        return jax.vmap(one)(starts)
-
-    d_pyr = jax.linear_transpose(gather_windows, list(pyr_struct))(
-        d_win.astype(dtype))[0]
+    ct_flat = ct.reshape(n, pooled, pooled, C).astype(jnp.float32)
+    pad = (-n) % J
+    if pad:
+        starts = jnp.pad(starts, ((0, pad), (0, 0)))
+        ct_flat = jnp.pad(ct_flat, ((0, pad),) + ((0, 0),) * 3)
+        vy = jnp.pad(vy, ((0, pad), (0, 0), (0, 0)))
+        vx = jnp.pad(vx, ((0, pad), (0, 0), (0, 0)))
+    pad_rows_l = [max(h, window_y) for h, _ in shapes]
+    Hc = sum(pad_rows_l)
+    canvas = jnp.zeros((B, Hc, Wc, C), jnp.float32)
+    canvas = rk.roi_window_accum_seg(
+        canvas, jnp.asarray([0, (n + pad) // J], jnp.int32), starts,
+        ct_flat, vy, vx, window_y, window_x, pooled, rois_per_step=J,
+        interpret=interpret)
+    d_pyr = []
+    r0 = 0
+    for i, (H, W) in enumerate(shapes):
+        d_pyr.append(jax.lax.slice(
+            canvas, (0, r0, 0, 0), (B, r0 + H, W, C)).astype(dtype))
+        r0 += pad_rows_l[i]
     return (d_pyr, jnp.zeros_like(rois))
 
 

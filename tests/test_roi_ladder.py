@@ -325,3 +325,114 @@ def test_ladder_sliver_fixup_out_qp_and_overflow():
     out = np.asarray(_ladder(pyr, rois, out_qp=True))
     np.testing.assert_allclose(np.swapaxes(out, 2, 3), ref,
                                rtol=1e-4, atol=2e-4)
+
+
+def test_accum_kernel_is_window_pool_transpose():
+    """roi_window_accum_seg (the Pallas backward kernel) vs a numpy
+    scatter of d_win = vy^T ct vx^T: the exact linear transpose of the
+    window pool, including overlapping windows (sequential RMW) and the
+    empty-segment no-op."""
+    from detectron_tpu.ops.pallas import roi_align_kernel as rk
+
+    rng = np.random.RandomState(0)
+    B, Hc, Wc, C = 2, 32, 40, 8
+    WY, WX, P = 8, 16, 7
+    N, J = 16, 8
+
+    starts = np.stack([
+        rng.randint(0, B, N),
+        rng.randint(0, Hc - WY + 1, N),
+        rng.randint(0, (Wc - WX) // 8 + 1, N) * 8,
+    ], axis=1).astype(np.int32)
+    vy = rng.randn(N, P, WY).astype(np.float32)
+    vx = rng.randn(N, P, WX).astype(np.float32)
+    ct = rng.randn(N, P, P, C).astype(np.float32)
+
+    out = np.asarray(rk.roi_window_accum_seg(
+        jnp.zeros((B, Hc, Wc, C), jnp.float32),
+        jnp.asarray([0, N // J], jnp.int32), jnp.asarray(starts),
+        jnp.asarray(ct), jnp.asarray(vy), jnp.asarray(vx),
+        WY, WX, P, rois_per_step=J, interpret=True))
+
+    ref = np.zeros((B, Hc, Wc, C), np.float32)
+    for j in range(N):
+        dwin = np.einsum("ph,pqc,qw->hwc", vy[j], ct[j], vx[j])
+        b, y0, x0 = starts[j]
+        ref[b, y0:y0 + WY, x0:x0 + WX] += dwin
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+    # Empty segment: the aliased canvas passes through untouched.
+    out2 = np.asarray(rk.roi_window_accum_seg(
+        jnp.ones((B, Hc, Wc, C), jnp.float32),
+        jnp.asarray([0, 0], jnp.int32), jnp.asarray(starts),
+        jnp.asarray(ct), jnp.asarray(vy), jnp.asarray(vx),
+        WY, WX, P, rois_per_step=J, interpret=True))
+    np.testing.assert_array_equal(out2, np.ones((B, Hc, Wc, C), np.float32))
+
+
+def _bwd_vs_gather_oracle(monkeypatch, run):
+    g_new = run()
+    monkeypatch.setenv("DETECTRON_TPU_ROI_BWD", "gather")
+    g_old = run()
+    monkeypatch.delenv("DETECTRON_TPU_ROI_BWD")
+    for i, (a, b) in enumerate(zip(g_new, g_old)):
+        a, b = np.asarray(a), np.asarray(b)
+        sc = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / sc, b / sc, rtol=1e-4, atol=2e-5,
+                                   err_msg=f"level {i}")
+
+
+def test_ladder_bwd_pallas_accum_matches_gather_oracle(monkeypatch):
+    """The Pallas window-accumulate ladder backward vs the retained
+    gather-transpose oracle (_ladder_bwd_gather), on a mix that drives
+    base, BOTH fixup rungs (multi-chunk: counts above one chunk cap),
+    whole-top-level, and beyond-ladder-sliver routing."""
+    rng = np.random.RandomState(17)
+    B = 2
+    pyr = _pyramid(rng, B, C=8)
+    wide = [_build(170.0, 16.0, 4.0 + 7.0 * i, 10.0) for i in range(12)]
+    tall = [_build(170.0, 1 / 16.0, 6.0 + 7.0 * i, 8.0) for i in range(12)]
+    slivers = [[10.0 + 9.0 * i, 5.0, 18.0 + 9.0 * i, 700.0]
+               for i in range(3)]
+    normal = [_build(80.0 + 9.0 * i, 1.0, 4.0 + 2.0 * i, 6.0 + i)
+              for i in range(12)] + [_build(900.0, 1.0)]
+    rois = jnp.asarray(np.array([wide + tall + slivers + normal] * B,
+                                np.float32))
+    ctan = jnp.asarray(rng.randn(B, rois.shape[1], 7, 7, 8)
+                       .astype(np.float32))
+
+    def run():
+        def f(p):
+            out = win.multilevel_roi_align_ladder_trainable(
+                p, SCALES, rois, 7, 2, 2, 5, 224, 4,
+                ((32, 40), (64, 48), (32, 96)), 8, True, False, False)
+            return jnp.sum(out * ctan)
+
+        return jax.grad(f)(list(pyr))
+
+    _bwd_vs_gather_oracle(monkeypatch, run)
+
+
+def test_pallas_trainable_bwd_accum_matches_gather_oracle(monkeypatch):
+    """The single-window trainable path's Pallas accumulate backward vs
+    its dynamic_slice linear-transpose oracle (clamping included: the
+    transpose must match the forward's clamped map, not exact RoIAlign)."""
+    rng = np.random.RandomState(18)
+    B = 2
+    pyr = _pyramid(rng, B, C=8)
+    rois = jnp.asarray(np.array([
+        [_build(150.0, 1.0), _build(400.0, 4.0), _build(900.0, 1.0),
+         _build(200.0, 0.33), _build(500.0, 6.0), _build(120.0, 1.0)]] * B,
+        np.float32))
+    ctan = jnp.asarray(rng.randn(B, 6, 7, 7, 8).astype(np.float32))
+
+    def run():
+        def f(p):
+            out = win.multilevel_roi_align_pallas_trainable(
+                p, SCALES, rois, 7, 2, 2, 5, 224, 4, 32, 8, True,
+                pyr[-1].shape[2], False)
+            return jnp.sum(out * ctan)
+
+        return jax.grad(f)(list(pyr))
+
+    _bwd_vs_gather_oracle(monkeypatch, run)
