@@ -300,6 +300,9 @@ def test_net(params, roidb_entries, dataset, batch_size=8, output_dir=None,
         images_np = np.zeros((batch_size,) + tuple(canvas) + (3,), in_dtype)
         for i, b in enumerate(blobs):
             if b is not None:
+                assert b.shape[0] <= canvas[0] and b.shape[1] <= canvas[1], (
+                    "prepped image %s exceeds static canvas %s"
+                    % (b.shape[:2], tuple(canvas)))
                 images_np[i, :b.shape[0], :b.shape[1]] = b
         if cfg.TPU.S2D_INPUT:
             images_np = blob_utils.space_to_depth(images_np)

@@ -517,7 +517,10 @@ def roi_window_accum_seg(canvas_grad, seg, starts, ct, vy, vx, window_y,
     # scope when the estimate says so.
     est = (2 * window_y * window_x * C * 4          # scratch + dw
            + window_x * P * C * 4 * 2               # u2 + its transpose
-           + J * (P * P * C + (window_y + window_x) * P) * 4)
+           # in_specs blocks are double-buffered by the Pallas pipeline:
+           # count ctq/vyt/vxt twice or est can undercount for tall/wide
+           # rungs at pooled=14 (compile-time VMEM failure).
+           + 2 * J * (P * P * C + (window_y + window_x) * P) * 4)
     kwargs = {}
     if est > _VMEM_BUDGET and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(

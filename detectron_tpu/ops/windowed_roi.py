@@ -173,6 +173,14 @@ def _canvas_meta(pyramid, window):
     return heights, widths, row_off, pad_rows
 
 
+# Default compaction fractions for the ladder's fixup sweeps. Shared by
+# multilevel_roi_align_pallas_ladder's signature and the Pallas backward's
+# _ladder_geom call so the two cannot silently diverge (the trainable
+# entry point does not expose frac overrides).
+LADDER_TOP_FRAC = 4
+LADDER_FIX_FRAC = 8
+
+
 def _ladder_geom(dims, C, item, pooled, rungs, J, narrow_base, top_frac,
                  fix_frac):
     """Static ladder geometry, shared by the forward sweep dispatch and
@@ -444,8 +452,8 @@ def multilevel_roi_align_pallas_ladder(
         pyramid, scales, rois, pooled, sampling_ratio, k_min, k_max,
         canonical_scale=224, canonical_level=4,
         rungs=((32, 40), (64, 48), (32, 96)), rois_per_step=8,
-        interpret=False, out_qp=False, fix_frac=8, narrow_base=False,
-        top_frac=4):
+        interpret=False, out_qp=False, fix_frac=LADDER_FIX_FRAC,
+        narrow_base=False, top_frac=LADDER_TOP_FRAC):
     """Batched Pallas RoIAlign with a per-RoI-shape WINDOW LADDER.
 
     The BASE sweep is exactly the single-window full-canvas kernel (rung 0
@@ -739,7 +747,8 @@ def _ladder_trainable_bwd(scales, pooled, sampling_ratio, k_min, k_max,
     # Rung fitting uses the FORWARD dtype's itemsize: the backward must
     # transpose the same per-RoI window routing the forward used.
     g = _ladder_geom(dims, C, jnp.dtype(dtype).itemsize, pooled,
-                     tuple(rungs), J, narrow_base, 4, 8)
+                     tuple(rungs), J, narrow_base, LADDER_TOP_FRAC,
+                     LADDER_FIX_FRAC)
     heights = jnp.asarray([d[0] for d in dims], jnp.float32)
     widths = jnp.asarray([d[1] for d in dims], jnp.float32)
     row_off = jnp.asarray(g["row_off_l"], jnp.float32)
@@ -769,8 +778,15 @@ def _ladder_trainable_bwd(scales, pooled, sampling_ratio, k_min, k_max,
 
     # ------- base accumulate: all base-covered RoIs, masked (not
     # compacted — they are ~all of the RoIs) -------
+    # With no fixup rungs the FORWARD early-returns the clamped
+    # base-window result for every RoI (covered or not), so the transpose
+    # must route ALL cotangents through the base window — masking by `ok`
+    # and gather-transposing the rest would transpose a different map.
     starts = jnp.stack([img_idx, sy, sx], axis=-1)
-    d_base = jnp.where(ok[:, None, None, None], ct_flat, 0.0)
+    if g["fix_rungs"]:
+        d_base = jnp.where(ok[:, None, None, None], ct_flat, 0.0)
+    else:
+        d_base = ct_flat
     pad = (-n) % J
     if pad:
         # Pad slots: zero cotangent at origin (0, 0, 0) — accumulates +0.
@@ -825,7 +841,9 @@ def _ladder_trainable_bwd(scales, pooled, sampling_ratio, k_min, k_max,
 
     # ------- beyond-ladder slivers: exact gather transpose, added into
     # the same canvas (linear in the canvas, vjp at zeros); a batch with
-    # no slivers pays one predicate (while-loop trip count 0) -------
+    # no slivers pays one predicate (while-loop trip count 0). Skipped
+    # entirely when the ladder has no fixup rungs — the forward routed
+    # everything through the base window (see d_base above). -------
     cap_sl = min(-(-max(n // 256, J) // J) * J, cap_full)
 
     def sliver_accum(cv, idx, cnt_k):
@@ -844,7 +862,8 @@ def _ladder_trainable_bwd(scales, pooled, sampling_ratio, k_min, k_max,
         _, vjp_fn = jax.vjp(f, jnp.zeros_like(cv))
         return cv + vjp_fn(fct.astype(jnp.float32))[0]
 
-    canvas = chunk_accum(canvas, need & ~covered, cap_sl, sliver_accum)
+    if g["fix_rungs"]:
+        canvas = chunk_accum(canvas, need & ~covered, cap_sl, sliver_accum)
 
     # Slice the per-level gradient blocks back out of the canvas (the
     # transpose of build_canvas_batched(_2d)'s pad+concat).

@@ -413,6 +413,76 @@ def test_ladder_bwd_pallas_accum_matches_gather_oracle(monkeypatch):
     _bwd_vs_gather_oracle(monkeypatch, run)
 
 
+def test_ladder_bwd_bf16_pyramid_matches_gather_oracle(monkeypatch):
+    """bf16 pyramid (production dtype): the Pallas backward transposes
+    with f32 interpolation weights while the forward pools with bf16
+    weights, so vs the gather oracle only the per-RoI ROUTING
+    (ok/covered/rid agreement) is exact and the values carry bf16 weight
+    rounding — looser tolerance, both grads cast back to f32 to compare."""
+    rng = np.random.RandomState(19)
+    B = 2
+    pyr = [f.astype(jnp.bfloat16) for f in _pyramid(rng, B, C=8)]
+    wide = [_build(170.0, 16.0, 4.0 + 7.0 * i, 10.0) for i in range(6)]
+    slivers = [[10.0 + 9.0 * i, 5.0, 18.0 + 9.0 * i, 700.0]
+               for i in range(2)]
+    normal = [_build(80.0 + 9.0 * i, 1.0) for i in range(6)] + [
+        _build(900.0, 1.0), _build(400.0, 0.25)]
+    rois = jnp.asarray(np.array([wide + slivers + normal] * B, np.float32))
+    ctan = jnp.asarray(rng.randn(B, rois.shape[1], 7, 7, 8)
+                       .astype(np.float32))
+
+    def run():
+        def f(p):
+            out = win.multilevel_roi_align_ladder_trainable(
+                p, SCALES, rois, 7, 2, 2, 5, 224, 4,
+                ((32, 40), (64, 48), (32, 96)), 8, True, False, False)
+            return jnp.sum(out.astype(jnp.float32) * ctan)
+
+        return [g.astype(jnp.float32) for g in jax.grad(f)(list(pyr))]
+
+    g_new = run()
+    monkeypatch.setenv("DETECTRON_TPU_ROI_BWD", "gather")
+    g_old = run()
+    monkeypatch.delenv("DETECTRON_TPU_ROI_BWD")
+    for i, (a, b) in enumerate(zip(g_new, g_old)):
+        a, b = np.asarray(a), np.asarray(b)
+        sc = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / sc, b / sc, rtol=2e-2, atol=8e-3,
+                                   err_msg=f"level {i}")
+
+
+def test_ladder_bwd_single_rung_is_forward_transpose():
+    """Regression (ADVICE r4 medium): with NO fixup rungs (single-rung
+    ladder, narrow_base=False) the forward early-returns the clamped
+    base-window result for every RoI — the backward must transpose THAT
+    map (all RoIs through the base window), not zero uncovered RoIs' base
+    contribution and gather-transpose them. Verified by the dot-product
+    identity <f(t), ct> == <vjp_f(ct), t> (f is linear in the pyramid),
+    on a mix with uncovered wide mid-level RoIs."""
+    rng = np.random.RandomState(20)
+    B = 1
+    pyr = _pyramid(rng, B, C=8)
+    rois = jnp.asarray(np.array([
+        [_build(170.0, 16.0), _build(400.0, 8.0, 10.0, 40.0),
+         _build(150.0, 1.0), _build(900.0, 1.0), _build(90.0, 1.0),
+         [10.0, 5.0, 18.0, 700.0]]], np.float32))
+    ctan = jnp.asarray(rng.randn(B, rois.shape[1], 7, 7, 8)
+                       .astype(np.float32))
+    tangent = [jnp.asarray(rng.randn(*f.shape).astype(np.float32))
+               for f in pyr]
+
+    def f(p):
+        return win.multilevel_roi_align_ladder_trainable(
+            p, SCALES, rois, 7, 2, 2, 5, 224, 4,
+            ((32, 40),), 8, True, False, False)
+
+    # f is linear in the pyramid: f(tangent) IS the JVP.
+    lhs = float(jnp.sum(f(tangent) * ctan))
+    grads = jax.grad(lambda p: jnp.sum(f(p) * ctan))(list(pyr))
+    rhs = float(sum(jnp.sum(g * t) for g, t in zip(grads, tangent)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
 def test_pallas_trainable_bwd_accum_matches_gather_oracle(monkeypatch):
     """The single-window trainable path's Pallas accumulate backward vs
     its dynamic_slice linear-transpose oracle (clamping included: the
