@@ -389,6 +389,15 @@ __C.TPU.S2D_STEM = False
 # HBM round trip that made TPU.S2D_STEM lose). Consumers must feed blocked
 # images when this is on (loader, test_engine, bench do).
 __C.TPU.S2D_INPUT = False
+# Fused res2 Pallas kernel: run all three res2 bottleneck blocks on a y-tile
+# of the image per grid step (frozen-BN affines folded into the conv
+# weights), cutting the stage's HBM traffic ~5x — round-4 xprof measured
+# ~40 ms/step of stem+res2 convs pinned at 565-700 GB/s / 2-60 TF/s at
+# batch 48 (PERF.md). Forward-only; applies when the stage is frozen
+# (FREEZE_AT >= 2, every reference config), affine-normed, ungrouped, and
+# the canvas is tile-legal — models/resnet.py falls back to the XLA stage
+# otherwise (ops/pallas/fused_stem_kernel.py).
+__C.TPU.FUSED_RES2 = False
 
 # ---------------------------------------------------------------------------
 # Misc

@@ -241,6 +241,20 @@ def apply_body(p, x, num_stages, freeze_at=None):
             stride, dil = 1, cfg.RESNETS.RES5_DILATION
         else:
             stride, dil = (1 if s == 0 else 2), 1
+        if s == 0 and cfg.TPU.FUSED_RES2 and freeze_at >= 2:
+            # Fused res2 Pallas kernel: the whole stage in one HBM pass
+            # (ops/pallas/fused_stem_kernel.py). Only for the frozen
+            # canonical stage — freeze_at >= 2 guarantees no tangents reach
+            # the pallas_call (it has no AD rule); guards fall back to the
+            # XLA stage for GN/ResNeXt/ragged-canvas configs.
+            from detectron_tpu.ops.pallas import fused_stem_kernel as fk
+            ty = fk.pick_ty(h.shape[1], h.shape[2])
+            if ty is not None and not cfg.RESNETS.USE_GN and ng == 1 \
+                    and fk.res2_params_supported(sp):
+                w = fk.fold_res2_weights(sp, h.dtype)
+                h = fk.fused_res2(h, w, ty=ty)
+                outs.append(h)
+                continue
         if cfg.TPU.REMAT_BODY:
             stage_fn = jax.checkpoint(
                 lambda sp_, h_, _stride=stride, _dil=dil: apply_stage(

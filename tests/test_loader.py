@@ -182,8 +182,8 @@ def test_multiscale_train_steps_interleave(tiny_roidb):
     """End-to-end multi-scale TRAINING (VERDICT r3 ask #4): jit train_step
     over a 2-scale loader stream — one executable compiles per canvas
     shape, steps at different scales interleave in one optimizer stream,
-    and every loss is finite. (Per-scale recompile cost on TPU is logged
-    in PERF.md round-4.)"""
+    and every loss is finite. (Per-scale compile/steady-state cost on real
+    TPU: PERF.md round-5 multi-scale table.)"""
     import jax
     import jax.numpy as jnp
 

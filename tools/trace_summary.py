@@ -130,8 +130,24 @@ def main():
     by_op = collections.Counter()
     by_cat = collections.Counter()
     by_stage = collections.Counter()
-    op_meta = {}  # name -> (category, model_flops, bytes, example args)
+    op_meta = {}  # merge key -> (category, model_flops, bytes, stage, name)
+    n_instances = collections.Counter()
     total = 0.0
+
+    def merge_key(e):
+        """Canonical per-step identity: some traces renumber instances each
+        step (step 1's fusion.885 is step 2's fusion.902), splitting one
+        logical op's time across N names so multi-step top-op averages
+        under-attribute (TODO.md infra). Strip the trailing .NNN and key on
+        (base, category, flops, bytes, stage) — identical cost signatures
+        at the same source site ARE the same logical op."""
+        name = e.get("name", "?")
+        base, dot, suf = name.rpartition(".")
+        if dot and suf.isdigit():
+            name = base
+        a = e.get("args") or {}
+        return (name, categorize(e), a.get("model_flops"),
+                a.get("raw_bytes_accessed"), stage_of(e))
 
     def account(e, self_ms):
         nonlocal total
@@ -145,17 +161,19 @@ def main():
         # (seen on train-step traces; duration == the whole step).
         if name.isdigit() and not (e.get("args") or {}).get("hlo_category"):
             return
-        by_op[name] += self_ms
+        key = merge_key(e)
+        by_op[key] += self_ms
+        n_instances[key] += 1
         by_cat[categorize(e)] += self_ms
         by_stage[stage_of(e)] += self_ms
         total += self_ms
-        if name not in op_meta:
+        if key not in op_meta:
             a = e.get("args") or {}
-            op_meta[name] = (
+            op_meta[key] = (
                 categorize(e),
                 float(a.get("model_flops", 0) or 0),
                 float(a.get("raw_bytes_accessed", 0) or 0),
-                stage_of(e))
+                stage_of(e), name)
 
     for lane_events in lanes.values():
         lane_events.sort(key=lambda e: (e["ts"], -e["dur"]))
@@ -189,30 +207,34 @@ def main():
         print("  {:<42s} {:>9.2f}  ({:4.1f}%)".format(
             st, ms * per, 100.0 * ms / max(total, 1e-9)))
 
-    def oprow(name, ms):
-        cat, flops, nbytes, stage = op_meta.get(name, ("?", 0, 0, "?"))
-        # flops/bytes are PER INSTANCE; for ops that run once per step the
-        # per-step self time is the instance time and the rates are exact
-        # (ops with several instances per step read low — still a lower
-        # bound, fine for spotting underutilized ops).
-        dt = ms * per / 1000.0
+    def oprow(key, ms):
+        cat, flops, nbytes, stage, name = op_meta.get(
+            key, ("?", 0, 0, "?", key[0]))
+        # flops/bytes are PER INSTANCE; with instance-merged keys the rates
+        # use per-instance time (self-time / merged instance count), so
+        # they stay exact for once-per-step ops and remain a per-instance
+        # mean for intra-step repeats.
+        n = max(n_instances.get(key, 1), 1)
+        dt = ms / n / 1000.0
         perf = ""
         if flops and dt > 0:
             perf += " {:6.1f} TF/s".format(flops / dt / 1e12)
         if nbytes and dt > 0:
             perf += " {:6.1f} GB/s".format(nbytes / dt / 1e9)
-        return "  {:>8.2f}  {:<28s} {:<24s}{}  {}".format(
-            ms * per, name[:28], stage[:24], perf, cat)
+        label = name if n <= args.steps else \
+            "{} [x{}]".format(name, (n + args.steps - 1) // args.steps)
+        return "  {:>8.2f}  {:<32s} {:<24s}{}  {}".format(
+            ms * per, label[:32], stage[:24], perf, cat)
 
-    print("\ntop {} ops (ms/step; TF/s and GB/s are per-op means):"
-          .format(args.top))
-    for name, ms in by_op.most_common(args.top):
-        print(oprow(name, ms))
+    print("\ntop {} ops (ms/step, instance-merged; TF/s and GB/s are "
+          "per-instance means):".format(args.top))
+    for key, ms in by_op.most_common(args.top):
+        print(oprow(key, ms))
     if args.like:
         print("\nops matching {!r} (ms/step):".format(args.like))
-        for name, ms in sorted(by_op.items(), key=lambda kv: -kv[1]):
-            if args.like.lower() in name.lower():
-                print(oprow(name, ms))
+        for key, ms in sorted(by_op.items(), key=lambda kv: -kv[1]):
+            if args.like.lower() in key[0].lower():
+                print(oprow(key, ms))
 
 
 if __name__ == "__main__":
