@@ -332,8 +332,13 @@ def test_net(params, roidb_entries, dataset, batch_size=8, output_dir=None,
     loader = threading.Thread(target=_loader, daemon=True)
     loader.start()
 
+    # Post-processing pool sized to the host: more threads than cores just
+    # adds GIL/switching overhead to the loader thread it must overlap with
+    # (this environment's eval host has nproc=1 — see PERF.md round-5
+    # eval-loop notes for the measured single-core ceiling).
     post_pool = ThreadPoolExecutor(
-        max(1, int(cfg.DATA_LOADER.NUM_THREADS)))
+        max(1, min(int(cfg.DATA_LOADER.NUM_THREADS),
+                   os.cpu_count() or 1)))
 
     def _post(chunk, infos, out):
         timers["device_wait"].tic()

@@ -249,8 +249,13 @@ def apply_body(p, x, num_stages, freeze_at=None):
             # XLA stage for GN/ResNeXt/ragged-canvas configs.
             from detectron_tpu.ops.pallas import fused_stem_kernel as fk
             ty = fk.pick_ty(h.shape[1], h.shape[2])
-            if ty is not None and not cfg.RESNETS.USE_GN and ng == 1 \
-                    and fk.res2_params_supported(sp):
+            # Mosaic kernels only exist on TPU backends: CPU runs (virtual
+            # -device tests, dryrun_multichip, the CPU CLI path) take the
+            # XLA stage unless a test forces interpret mode.
+            on_tpu = (jax.default_backend() != "cpu"
+                      or fk._FORCE_INTERPRET)
+            if on_tpu and ty is not None and not cfg.RESNETS.USE_GN \
+                    and ng == 1 and fk.res2_params_supported(sp):
                 w = fk.fold_res2_weights(sp, h.dtype)
                 h = fk.fused_res2(h, w, ty=ty)
                 outs.append(h)

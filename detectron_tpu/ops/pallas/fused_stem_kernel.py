@@ -139,10 +139,22 @@ def _conv1x1(x, w, b, relu=True):
 
 def _conv3x3(x, w3, b, relu=True):
     """SAME-x / VALID-y 3x3 conv: x (R, W, C) -> (R-2, W, Cout) via 3
-    accumulated matmuls over an x-only im2col (K = 3*C)."""
+    accumulated matmuls over an x-only im2col (K = 3*C).
+
+    The +-1-column taps come from pltpu.roll + edge masking rather than
+    shifted slices of a padded copy: Mosaic cannot concatenate vectors
+    whose lane offsets differ ("result/input offset mismatch on non-concat
+    dimension"), and a rotate keeps every operand at offset 0. The rotate
+    itself only supports 32-bit lanes ("Rotate with non-32-bit data"), so
+    bf16 tiles round-trip through f32 for the shift."""
     R, W, C = x.shape
-    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
-    imx = jnp.concatenate([xp[:, d:d + W, :] for d in range(3)], axis=-1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, W, C), 1)
+    xf = x.astype(jnp.float32)
+    xm1 = jnp.where(col > 0, pltpu.roll(xf, 1, 1),
+                    0.0).astype(x.dtype)                  # x[j-1]
+    xp1 = jnp.where(col < W - 1, pltpu.roll(xf, W - 1, 1),
+                    0.0).astype(x.dtype)                  # x[j+1]
+    imx = jnp.concatenate([xm1, x, xp1], axis=-1)
     acc = b.astype(jnp.float32)
     for dy in range(3):
         acc = acc + jax.lax.dot_general(
