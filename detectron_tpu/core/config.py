@@ -375,6 +375,16 @@ __C.TPU.ROI_RUNGS = ((32, 40), (64, 48), (32, 96))
 # beyond that). Exactness is identical either way — this only moves DMA.
 # Default off pending hardware A/B (see PERF.md).
 __C.TPU.ROI_LADDER_NARROW = False
+# RoIs pooled per kernel grid step (J) in the ladder sweeps. The base sweep
+# runs ceil(n/J) grid steps; each step pays fixed costs (per-RoI DMA issue,
+# latency-bound interpolation matmuls, bookkeeping) on top of its window
+# DMA, so at small windows the sweep is STEP-bound, not DMA-bound (measured
+# round 5: shrinking the base window (32,48)->(24,40), -37% DMA, changed
+# throughput by -1 img/s). Larger J amortizes the fixed costs; VMEM bounds
+# it — J=16 double-buffered needs the elevated per-kernel scope and only
+# fits at window_y <= 24 (roi_align_kernel._pick_layout degrades to
+# single-slot otherwise, which measured SLOWER in round 2).
+__C.TPU.ROI_ROIS_PER_STEP = 8
 # Space-to-depth stem: compute the 7x7/s2 stem conv as the mathematically
 # identical 4x4/s1 conv on 2x2-blocked input (12 channels) — the MLPerf-era
 # TPU trick. MEASURED SLOWER here (v5e, 832x1344 batch 32: +4.6 ms vs the

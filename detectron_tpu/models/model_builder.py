@@ -316,7 +316,8 @@ def roi_feature_transform(params, features, scales, rois, resolution,
                 list(roi_feats), tuple(roi_scales), rois, resolution,
                 sampling_ratio, k_min, k_max,
                 cfg.FPN.ROI_CANONICAL_SCALE, cfg.FPN.ROI_CANONICAL_LEVEL,
-                rungs, 8, interp, out_qp, cfg.TPU.ROI_LADDER_NARROW)
+                rungs, cfg.TPU.ROI_ROIS_PER_STEP, interp, out_qp,
+                cfg.TPU.ROI_LADDER_NARROW)
 
         # Single-window hybrid: Pallas window-DMA kernel below the top level
         # + dense exact top level (no sample clamping for oversize RoIs,
@@ -328,7 +329,7 @@ def roi_feature_transform(params, features, scales, rois, resolution,
             canonical_scale=cfg.FPN.ROI_CANONICAL_SCALE,
             canonical_level=cfg.FPN.ROI_CANONICAL_LEVEL,
             window=cfg.TPU.ROI_WINDOW,
-            rois_per_step=8,
+            rois_per_step=cfg.TPU.ROI_ROIS_PER_STEP,
             interpret=interp,
             trainable=True, out_qp=out_qp)
 
