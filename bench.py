@@ -69,10 +69,12 @@ def main():
     if os.environ.get("BENCH_MODE") == "train":
         return train_bench()
 
-    # Batch per chip (no-ladder measurements: 32 -> 142.7, 48 -> 144.7,
-    # 64 -> 144.7 img/s). BENCH_BS overrides for re-checks after the
-    # per-step cost structure changes.
-    B = int(os.environ.get("BENCH_BS", "48"))
+    # Batch per chip. No-ladder (round 2): 32 -> 142.7, 48 -> 144.7,
+    # 64 -> 144.7 img/s (flat). Ladder path (round 5, 4-rung): 48 -> 138.1,
+    # 64 -> 139.4 (the ladder's fixed per-step machinery amortizes),
+    # 96 -> OOM. BENCH_BS overrides for re-checks after the per-step cost
+    # structure changes.
+    B = int(os.environ.get("BENCH_BS", "64"))
     H, W = 832, 1344
 
     params = mb.init_model(jax.random.PRNGKey(0))

@@ -366,7 +366,13 @@ __C.TPU.ROI_LADDER = True
 # whole-top-level rung is appended automatically. Defaults cover one-axis
 # feature extents to ~61 tall / ~86 wide (aspect ratios ~5-9 at band-top
 # sizes). window_x must be a multiple of 8 (sublane alignment).
-__C.TPU.ROI_RUNGS = ((32, 40), (64, 48), (32, 96))
+# (16, 96) ahead of (32, 96): measured on v5e (round 5), the wide RoIs a
+# trained-calibrated workload produces are clipped anchors with ey 9.5-14,
+# so the short-wide rung takes ALL of that traffic at half the window DMA
+# (+2.1 img/s end-to-end); (32, 96) stays as an exactness backstop for
+# taller wide RoIs (ey 15-30) and is skipped for free when its count is
+# zero (per-rung tier dispatch).
+__C.TPU.ROI_RUNGS = ((32, 40), (64, 48), (16, 96), (32, 96))
 # Narrow-base ladder: keep the BASE sweep at ROI_RUNGS[0] instead of
 # widening it to whole-top-level x coverage (a ~17% cut of the dominant
 # base-sweep window DMA at the 832x1344 canvas: (32, 40) vs (32, 48));
