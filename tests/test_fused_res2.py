@@ -40,11 +40,12 @@ def _xla_stage(params, x):
     return resnet.apply_stage(params, x, stride=1)
 
 
+@pytest.mark.parametrize("boundary", ["kernel", "hbm"])
 @pytest.mark.parametrize("dtype,tol", [
     (jnp.float32, 3e-5),
     (jnp.bfloat16, 0.13),
 ])
-def test_fused_res2_matches_xla_stage(dtype, tol):
+def test_fused_res2_matches_xla_stage(dtype, tol, boundary):
     """Interpret-mode kernel == XLA stage on random input, both dtypes.
 
     bf16 tolerance: the kernel folds BN into the conv weights and adds
@@ -60,7 +61,8 @@ def test_fused_res2_matches_xla_stage(dtype, tol):
 
     ref = _xla_stage(params, x)
     w = fk.fold_res2_weights(params, dtype)
-    out = fk.fused_res2(x, tuple(w), ty=8, interpret=True)
+    out = fk.fused_res2(x, tuple(w), ty=8, interpret=True,
+                        boundary=boundary)
 
     assert out.shape == ref.shape == (2, 16, 32, 256)
     np.testing.assert_allclose(

@@ -65,8 +65,12 @@ def test_two_process_multihost_train(mh_env):
         # Gloo (the CPU cross-process collective transport) must pair over
         # loopback here; interface auto-detection picks an unroutable addr.
         env["GLOO_SOCKET_IFNAME"] = "lo"
-        # No shared compile cache: concurrent writers can abort natively.
-        env.pop("JAX_COMPILATION_CACHE_DIR", None)
+        # No SHARED compile cache: concurrent writers can abort natively
+        # (observed as rank crashes when both ranks compile cold). Popping
+        # the env var is not enough — tools/_init_paths.py defaults to
+        # /tmp/jax_cache — so give each rank its own dir.
+        env["JAX_COMPILATION_CACHE_DIR"] = str(
+            mh_env["tmp"] / ("jax_cache_rank%d" % rank))
         out_dir = mh_env["tmp"] / ("out_rank%d" % rank)
         log = open(str(mh_env["tmp"] / ("rank%d.log" % rank)), "w")
         logs.append(log)

@@ -27,10 +27,14 @@ if _platforms or _cpu_devs:
         jax.config.update("jax_num_cpu_devices", int(_cpu_devs))
 
 # Persistent compile cache (same dir bench.py uses): tool reruns on the
-# same shapes skip the multi-minute XLA compile.
+# same shapes skip the multi-minute XLA compile. JAX_COMPILATION_CACHE_DIR
+# overrides the dir; setting it to the EMPTY string disables the cache
+# entirely (concurrent processes sharing one cache dir can abort in the
+# native writer — multi-rank launchers must give each rank its own dir or
+# opt out; see tests/test_multihost.py).
 import jax as _jax  # noqa: E402
 
-_jax.config.update("jax_compilation_cache_dir",
-                   os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                  "/tmp/jax_cache"))
-_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+if _cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
