@@ -228,8 +228,40 @@ def apply_body(p, x, num_stages, freeze_at=None):
         h = _s2d_stem_conv(stem_p["conv1"], x)
     else:
         h = L.conv2d(stem_p["conv1"], x, stride=2, padding=3)
-    h = L.relu(_norm_apply(stem_p["res_conv1_bn"], h))
-    h = L.max_pool(h, window=3, stride=2, padding=((1, 1), (1, 1)))
+
+    # Fused stem/res2 eligibility (all gates up front: the v3 "packed"
+    # pipeline replaces the stem post-ops themselves, so the decision is
+    # needed before them). Modes:
+    #   "packed": stem_pool_pack kernel (affine+relu+pool+pack in one
+    #             HBM pass) -> fused_res2(boundary="packed"). Production.
+    #   "auto":   XLA stem post-ops -> fused_res2 (its own boundary
+    #             default) — non-bf16 or pool-ineligible geometry.
+    fused_mode = None
+    fk = None
+    if cfg.TPU.FUSED_RES2 and freeze_at >= 2 and num_stages >= 1:
+        from detectron_tpu.ops.pallas import fused_stem_kernel as _fk
+        # Mosaic kernels only exist on TPU backends: CPU runs (virtual
+        # -device tests, dryrun_multichip, the CPU CLI path) take the
+        # XLA path unless a test forces interpret mode.
+        on_tpu = (jax.default_backend() != "cpu" or _fk._FORCE_INTERPRET)
+        Hp, Wp = h.shape[1], h.shape[2]
+        ty = (_fk.pick_ty(Hp // 2, Wp // 2)
+              if Hp % 2 == 0 and Wp % 2 == 0 else None)
+        if on_tpu and ty is not None and not cfg.RESNETS.USE_GN \
+                and ng == 1 and _fk.res2_params_supported(p["res2"]):
+            fk = _fk
+            if (h.dtype == jnp.bfloat16 and Hp % (2 * ty) == 0
+                    and Wp % 32 == 0):
+                fused_mode = "packed"
+            else:
+                fused_mode = "auto"
+
+    if fused_mode == "packed":
+        sb = stem_p["res_conv1_bn"]
+        h = fk.stem_pool_pack(h, sb["s"], sb["b"], typ=ty)
+    else:
+        h = L.relu(_norm_apply(stem_p["res_conv1_bn"], h))
+        h = L.max_pool(h, window=3, stride=2, padding=((1, 1), (1, 1)))
 
     outs = []
     for s in range(num_stages):
@@ -241,25 +273,22 @@ def apply_body(p, x, num_stages, freeze_at=None):
             stride, dil = 1, cfg.RESNETS.RES5_DILATION
         else:
             stride, dil = (1 if s == 0 else 2), 1
-        if s == 0 and cfg.TPU.FUSED_RES2 and freeze_at >= 2:
+        if s == 0 and fused_mode is not None:
             # Fused res2 Pallas kernel: the whole stage in one HBM pass
             # (ops/pallas/fused_stem_kernel.py). Only for the frozen
             # canonical stage — freeze_at >= 2 guarantees no tangents reach
-            # the pallas_call (it has no AD rule); guards fall back to the
-            # XLA stage for GN/ResNeXt/ragged-canvas configs.
-            from detectron_tpu.ops.pallas import fused_stem_kernel as fk
-            ty = fk.pick_ty(h.shape[1], h.shape[2])
-            # Mosaic kernels only exist on TPU backends: CPU runs (virtual
-            # -device tests, dryrun_multichip, the CPU CLI path) take the
-            # XLA stage unless a test forces interpret mode.
-            on_tpu = (jax.default_backend() != "cpu"
-                      or fk._FORCE_INTERPRET)
-            if on_tpu and ty is not None and not cfg.RESNETS.USE_GN \
-                    and ng == 1 and fk.res2_params_supported(sp):
+            # the pallas_call (it has no AD rule); the eligibility gates
+            # (GN/ResNeXt/ragged-canvas/backend) ran before the stem
+            # post-ops above.
+            if fused_mode == "packed":
+                dtype = jnp.bfloat16
+                w = fk.fold_res2_weights(sp, dtype)
+                h = fk.fused_res2(h, w, ty=ty, boundary="packed")
+            else:
                 w = fk.fold_res2_weights(sp, h.dtype)
                 h = fk.fused_res2(h, w, ty=ty)
-                outs.append(h)
-                continue
+            outs.append(h)
+            continue
         if cfg.TPU.REMAT_BODY:
             stage_fn = jax.checkpoint(
                 lambda sp_, h_, _stride=stride, _dil=dil: apply_stage(

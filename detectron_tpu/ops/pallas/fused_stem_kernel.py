@@ -287,6 +287,8 @@ def _kernel(xp_ref, xc_ref, xn_ref,
     xt = jnp.concatenate([top, xc_ref[0], bot], axis=0)  # (ty+6, U, 128)
     if boundary == "kernel":
         xt = _pack_x(xt)  # blocks arrive unpacked (ty, W, 64)
+    # boundary == "packed": blocks arrive pre-packed (the stem_pool_pack
+    # producer already emitted the x-pair layout); output is unpacked.
 
     def zero_edge_rows(x, n):
         """Zero the n out-of-image halo rows at each edge tile: the
@@ -319,7 +321,8 @@ def _kernel(xp_ref, xc_ref, xn_ref,
     b2 = _conv3x3(a2, wb2, bb2)                      # (ty, U, 128)
     c2 = _conv1x1(b2, wc2, bc2, relu=False)
     h2 = jnp.maximum(c2 + h1[1:ty + 1], 0.0)
-    out_ref[0] = _unpack_x(h2) if boundary == "kernel" else h2
+    out_ref[0] = (_unpack_x(h2) if boundary in ("kernel", "packed")
+                  else h2)
 
 
 def fused_res2(x, weights, ty=8, interpret=None, boundary=None):
@@ -357,11 +360,18 @@ def _fused_res2(x, weights, ty, interpret, boundary):
         materializes it as an HBM relayout copy (~12 ms/step at batch 64,
         'data formatting' in the trace; PERF.md round-5 fused-v2 table).
       - "hbm": the v2 behavior — jit-level reshape to (B, H, W/2, 128)
-        outside the kernel, packed blocks in/out. Kept for A/B."""
-    B, H, W, Cin = x.shape
+        outside the kernel, packed blocks in/out. Kept for A/B.
+      - "packed": x is ALREADY the packed (B, H, U, 128) tensor (produced
+        by stem_pool_pack — no boundary copy on either side); output is
+        unpacked in-kernel like "kernel". The production v3 pipeline."""
+    if boundary == "packed":
+        B, H, U, Cin2 = x.shape
+        Cin, W = Cin2 // 2, U * 2
+    else:
+        B, H, W, Cin = x.shape
+        U = W // 2
     assert H % ty == 0 and W % 16 == 0, (x.shape, ty)
     nty = H // ty
-    U = W // 2
     Cout = weights[4].shape[1]  # packed 2*256
 
     def xmap(off):
@@ -373,6 +383,10 @@ def _fused_res2(x, weights, ty, interpret, boundary):
     kern = functools.partial(_kernel, ty=ty, boundary=boundary)
     if boundary == "kernel":
         in_block, out_block = (1, ty, W, Cin), (1, ty, W, Cout // 2)
+        out_shape = jax.ShapeDtypeStruct((B, H, W, Cout // 2), x.dtype)
+        xin = x
+    elif boundary == "packed":
+        in_block, out_block = (1, ty, U, 2 * Cin), (1, ty, W, Cout // 2)
         out_shape = jax.ShapeDtypeStruct((B, H, W, Cout // 2), x.dtype)
         xin = x
     else:
@@ -392,6 +406,116 @@ def _fused_res2(x, weights, ty, interpret, boundary):
         out_shape=out_shape,
         interpret=interpret,
     )(xin, xin, xin, *weights)
-    if boundary == "kernel":
+    if boundary in ("kernel", "packed"):
         return out
     return out.reshape(B, H, W, Cout // 2)
+
+
+# ---------------------------------------------------------------------------
+# Stem post-ops kernel: AffineChannel + ReLU + 3x3/2 max pool + x-pair pack
+# ---------------------------------------------------------------------------
+
+def _stem_pool_kernel(xp_ref, xc_ref, xn_ref, s_ref, b_ref, out_ref, *,
+                      typ):
+    """One output tile of affine+relu+maxpool(3x3, stride 2, SAME)+pack.
+
+    Input blocks are (1, 2*typ, Wp, 64) raw stem-conv rows (halo: 1 row
+    each side from the neighbor blocks). Output block: (1, typ, Wp/4, 128)
+    x-pair-packed pooled activations. bf16 only — the x-direction pooling
+    and packing ride the same uint32-bitcast-of-sublane-pairs route as
+    _pack_x (Mosaic has no 16-bit strided/roll ops).
+
+    Zero-padding is exact: activations are post-ReLU (>= 0) and every pool
+    window contains at least one in-image pixel, so a max against zeroed
+    out-of-image positions equals XLA's reduce-window(-inf init) result.
+    Reference anchor: lib/modeling/ResNet.py :: basic_bn_stem (semantics).
+    """
+    t = pl.program_id(1)
+    nty = pl.num_programs(1)
+    top = xp_ref[0, 2 * typ - 1:2 * typ]
+    bot = xn_ref[0, 0:1]
+    xt = jnp.concatenate([top, xc_ref[0], bot], axis=0)
+    R, Wp, C = xt.shape  # R = 2*typ + 2
+    W, U = Wp // 2, Wp // 4
+
+    # Affine + ReLU in f32 (folded-BN scale/bias), cast to bf16; zero the
+    # out-of-image halo rows (edge tiles read clamped duplicate blocks).
+    y = jnp.maximum(
+        xt.astype(jnp.float32) * s_ref[...] + b_ref[...], 0.0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, 1, 1), 0)
+    lo = jnp.where(t == 0, 1, 0)           # local row 0 is global row -1
+    hi = R - jnp.where(t + 1 == nty, 1, 0)
+    y = jnp.where((row >= lo) & (row < hi), y, 0.0).astype(jnp.bfloat16)
+
+    # Pool-x (out col x covers input cols 2x-1, 2x, 2x+1): bitcast packs
+    # input col pairs into one u32 (low half = even col, verified); the
+    # 2x-1 term is the previous u32's high half, one 32-bit roll away.
+    z = pltpu.bitcast(y, jnp.uint32)       # (R, W, C)
+    hi_m = jnp.uint32(0xFFFF0000)
+    a = jax.lax.bitcast_convert_type(z << 16, jnp.float32)       # col 2x
+    c0 = jax.lax.bitcast_convert_type(z & hi_m, jnp.float32)     # col 2x+1
+    cp = jax.lax.bitcast_convert_type(
+        pltpu.roll(z, 1, 1) & hi_m, jnp.float32)                 # col 2x-1
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, W, 1), 1)
+    cp = jnp.where(col > 0, cp, 0.0)
+    px = jnp.maximum(jnp.maximum(a, c0), cp)    # (R, W, C) f32
+
+    # Pool-y (out row y covers local input rows 2y, 2y+1, 2y+2).
+    m = jnp.maximum(jnp.maximum(px[0:R - 2], px[1:R - 1]), px[2:R])
+    pooled = m.reshape(typ, 2, W, C)[:, 0]      # (typ, W, C)
+
+    # Pack x-pairs for the res2 kernel (f32 roll route — 32-bit legal).
+    pa = pooled.reshape(typ, U, 2, C)[:, :, 0]
+    pb = pltpu.roll(pooled, W - 1, 1).reshape(typ, U, 2, C)[:, :, 0]
+    out_ref[0] = jnp.concatenate([pa, pb], axis=-1).astype(jnp.bfloat16)
+
+
+def stem_pool_pack(x, s, b, typ=8, interpret=None):
+    """AffineChannel + ReLU + 3x3 stride-2 SAME max pool + x-pair pack as
+    one Pallas pass: x (B, Hp, Wp, 64) bf16 raw stem-conv output ->
+    (B, Hp/2, Wp/4, 128) packed pooled activations, ready for
+    fused_res2(boundary="packed").
+
+    Why: with the res2 kernel consuming the pool output directly, XLA has
+    no consumer to fuse the stem's affine/relu/pool into — they
+    materialize as a 13.6 ms loop fusion + 13.4 ms reduce-window at batch
+    64 (PERF.md round-5). This kernel replaces both with one DMA-bound
+    pass (~2.9 GB moved ~= 3.5 ms at HBM rate)."""
+    if interpret is None:
+        interpret = _FORCE_INTERPRET
+    return _stem_pool_pack(x, s, b, typ=typ, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("typ", "interpret"))
+def _stem_pool_pack(x, s, b, typ, interpret):
+    B, Hp, Wp, C = x.shape
+    assert x.dtype == jnp.bfloat16, x.dtype
+    assert Hp % (2 * typ) == 0 and Wp % 32 == 0, (x.shape, typ)
+    H = Hp // 2
+    nty = H // typ
+    sf = s.astype(jnp.float32).reshape(1, 1, C)
+    bf = b.astype(jnp.float32).reshape(1, 1, C)
+
+    def xmap(off):
+        def m(bi, t):
+            return (bi, jnp.clip(t + off, 0, nty - 1), 0, 0)
+        return m
+
+    in_block = (1, 2 * typ, Wp, C)
+    out = pl.pallas_call(
+        functools.partial(_stem_pool_kernel, typ=typ),
+        grid=(B, nty),
+        in_specs=[
+            pl.BlockSpec(in_block, xmap(-1), memory_space=pltpu.VMEM),
+            pl.BlockSpec(in_block, xmap(0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(in_block, xmap(+1), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, typ, Wp // 4, 2 * C),
+                               lambda bi, t: (bi, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Wp // 4, 2 * C), x.dtype),
+        interpret=interpret,
+    )(x, x, x, sf, bf)
+    return out

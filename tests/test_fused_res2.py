@@ -157,3 +157,48 @@ def test_fused_res2_gradients_still_flow_to_res3():
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(a).max() + 1e-6
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-4)
+
+
+def test_stem_pool_pack_matches_xla_postops():
+    """stem_pool_pack (affine+relu+3x3/2 SAME maxpool+x-pair pack) == the
+    XLA stem post-ops followed by a host pack, bf16."""
+    from detectron_tpu.models import layers as L
+
+    config.reset_cfg()
+    r = np.random.RandomState(7)
+    x = jnp.asarray(r.randn(2, 32, 64, 64) * 2.0, jnp.bfloat16)
+    s = jnp.asarray(r.uniform(0.5, 1.5, 64), jnp.float32)
+    b = jnp.asarray(r.uniform(-0.5, 0.5, 64), jnp.float32)
+
+    ref = L.relu(x.astype(jnp.float32) * s + b).astype(jnp.bfloat16)
+    ref = L.max_pool(ref, window=3, stride=2, padding=((1, 1), (1, 1)))
+    ref = np.asarray(ref, np.float32)          # (2, 16, 32, 64)
+    ref_packed = np.concatenate([ref[:, :, 0::2], ref[:, :, 1::2]], -1)
+
+    out = fk.stem_pool_pack(x, s, b, typ=8, interpret=True)
+    assert out.shape == (2, 16, 16, 128)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref_packed,
+                               atol=0.02, rtol=0.02)
+
+
+def test_apply_body_fused_packed_bf16_matches_default():
+    """bf16 apply_body with TPU.FUSED_RES2 takes the v3 packed pipeline
+    (stem_pool_pack -> fused_res2(boundary=packed)) end-to-end."""
+    config.reset_cfg()
+    cfg.immutable(False)
+    params = resnet.init_body(jax.random.PRNGKey(6), 50, 2)
+    r = np.random.RandomState(8)
+    x = jnp.asarray(r.randn(1, 64, 64, 3), jnp.bfloat16)
+
+    outs_ref = resnet.apply_body(params, x, num_stages=2)
+    config.merge_cfg_from_list(["TPU.FUSED_RES2", "True"])
+    with fk.force_interpret():
+        outs_fused = resnet.apply_body(params, x, num_stages=2)
+
+    for a, b in zip(outs_ref, outs_fused):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert a.shape == b.shape
+        # bf16 inter-op rounding differs (kernel folds BN, f32 shortcut
+        # adds); same tolerance class as the bf16 stage parity test.
+        np.testing.assert_allclose(a, b, atol=0.2, rtol=0.2)
