@@ -502,6 +502,19 @@ def _stem_pool_pack(x, s, b, typ, interpret):
         return m
 
     in_block = (1, 2 * typ, Wp, C)
+    # Scoped-VMEM sizing: Mosaic's default 16 MB limit is 416 KB short at
+    # batch-64 production geometry (typ=8, Wp=672: compile-time OOM on v5e).
+    # Account the 3 double-buffered input blocks, the double-buffered output
+    # block, and the kernel's f32 temporaries (y/z/a/c0/cp/px, each (R, Wp,
+    # C)) explicitly, mirroring roi_align_kernel's slot accounting.
+    R = 2 * typ + 2
+    est = (3 * 2 * (2 * typ) * Wp * C * 2
+           + 2 * typ * (Wp // 4) * 2 * C * 2
+           + 6 * R * Wp * C * 4)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(100 * 2**20, est)))
     out = pl.pallas_call(
         functools.partial(_stem_pool_kernel, typ=typ),
         grid=(B, nty),
@@ -517,5 +530,6 @@ def _stem_pool_pack(x, s, b, typ, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, Wp // 4, 2 * C), x.dtype),
         interpret=interpret,
+        **kwargs,
     )(x, x, x, sf, bf)
     return out
